@@ -1,0 +1,82 @@
+"""Galerkin triple product, filtering, and sparsification (host, setup-time).
+
+The reference computes Ac = R*A*P with a ring-pipelined distributed SpGEMM
+(triple_mat_mult / matmat_CSC, saena_object_setup_matmat.cpp). Hierarchy
+setup is host-side here, so the product is a sparse matmul; the device
+ring-SpGEMM lives in saena_tpu/ops/spgemm.py for the standalone matmat path.
+
+filter(): diagonal lumping of small entries (ref saena_object_setup2.cpp:
+852-918) — dropped off-diagonal values are added to the diagonal so row sums
+are preserved. Threshold schedule: filter_thre * 10^(filter_rate*(lvl -
+filter_start)), capped at filter_max (ref saena_object.h:203-210).
+
+sparsify_majid(): stochastic sparsifier keeping entries with probability
+proportional to val^2 (diagonal always kept — cooEntry::get_val_sq returns
+1e7 for the diagonal, data_struct.h:213-219; ref saena_object_sparsify.cpp).
+"""
+from __future__ import annotations
+
+import numpy as np
+import scipy.sparse as sp
+
+
+def galerkin_product(R: sp.csr_matrix, A: sp.csr_matrix, P: sp.csr_matrix) -> sp.csr_matrix:
+    Ac = (R @ (A @ P)).tocsr()
+    Ac.sum_duplicates()
+    Ac.sort_indices()
+    return Ac
+
+
+def filter_threshold(level: int, filter_thre: float, filter_max: float,
+                     filter_start: int, filter_rate: int) -> float:
+    if level < filter_start:
+        return 0.0
+    t = filter_thre * 10.0 ** (filter_rate * (level - filter_start))
+    return min(t, filter_max)
+
+
+def filter_lump(Ac: sp.csr_matrix, thre: float) -> sp.csr_matrix:
+    """Drop |offdiag| < thre, lumping the dropped mass into the diagonal."""
+    if thre <= 0.0:
+        return Ac
+    coo = Ac.tocoo()
+    offdiag = coo.row != coo.col
+    small = offdiag & (np.abs(coo.data) < thre)
+    if not small.any():
+        return Ac
+    n = Ac.shape[0]
+    lump = np.zeros(n)
+    np.add.at(lump, coo.row[small], coo.data[small])
+    keep = ~small
+    out = sp.csr_matrix(
+        (coo.data[keep], (coo.row[keep], coo.col[keep])), shape=Ac.shape
+    )
+    out = out + sp.diags(lump)
+    out = out.tocsr()
+    out.sort_indices()
+    return out
+
+
+def sparsify_majid(Ac: sp.csr_matrix, sample_sz_percent: float, seed: int = 0) -> sp.csr_matrix:
+    """Keep ~sample_sz_percent of the off-diagonal entries, sampled with
+    probability proportional to val^2; kept entries are NOT reweighted (the
+    reference keeps original values); diagonal always kept."""
+    if sample_sz_percent >= 1.0:
+        return Ac
+    coo = Ac.tocoo()
+    offdiag = coo.row != coo.col
+    n_off = int(offdiag.sum())
+    target = int(sample_sz_percent * Ac.nnz)
+    keep_off = max(0, target - (Ac.nnz - n_off))
+    if keep_off >= n_off:
+        return Ac
+    w = coo.data[offdiag] ** 2
+    p = w / w.sum()
+    rng = np.random.default_rng(seed)
+    sel = rng.choice(n_off, size=keep_off, replace=False, p=p)
+    keep = ~offdiag
+    off_idx = np.flatnonzero(offdiag)
+    keep[off_idx[sel]] = True
+    out = sp.csr_matrix((coo.data[keep], (coo.row[keep], coo.col[keep])), shape=Ac.shape)
+    out.sort_indices()
+    return out

@@ -1,0 +1,350 @@
+"""AMG hierarchy: host-side setup producing a device-resident Level pytree.
+
+Functional split (the TPU-native re-design of saena_object::setup,
+saena_object.cpp:175-406): all irregular, data-dependent work — strength,
+aggregation, Galerkin products, format selection — runs once on the host
+with numpy/scipy; the output is a tuple of static-shape ``Level`` pytrees
+(ELL/DIA/dense blocks, inverse diagonals, cached coarse LU factors) that the
+jitted V-cycle/pCG consume. Setup cost is amortized exactly like the
+reference's (assemble once, solve many; SuperLU factors cached —
+solve.cpp:922-926 — here the dense LU of the coarsest level is cached).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+from saena_tpu.config import Options
+from saena_tpu.ops.formats import (
+    DeviceMatrix,
+    EllMatrix,
+    dense_from_csr,
+    device_matrix_from_csr,
+    ell_from_csr,
+    pad_to,
+)
+from saena_tpu.amg.strength import find_aggregation
+from saena_tpu.amg.prolongation import smoothed_prolongator, restriction
+from saena_tpu.amg.galerkin import (
+    galerkin_product,
+    filter_lump,
+    filter_threshold,
+    sparsify_majid,
+)
+from saena_tpu.amg.eig import eig_max_invdiag_host
+
+
+def _register(cls):
+    data = [f.name for f in dataclasses.fields(cls) if not f.metadata.get("static")]
+    meta = [f.name for f in dataclasses.fields(cls) if f.metadata.get("static")]
+    jax.tree_util.register_dataclass(cls, data_fields=data, meta_fields=meta)
+    return cls
+
+
+def _static(**kw):
+    return dataclasses.field(metadata={"static": True}, **kw)
+
+
+@_register
+@dataclasses.dataclass(frozen=True)
+class Level:
+    """One grid level. P/R transfer to the NEXT (coarser) level and are None
+    on the coarsest. (ref Grid, grid.h:11-78)"""
+
+    A: DeviceMatrix
+    inv_diag: jax.Array                      # (n_pad,)
+    P: Optional[EllMatrix]                   # (n, n_coarse)
+    R: Optional[EllMatrix]                   # (n_coarse, n)
+    n: int = _static()                       # logical size
+    lvl: int = _static()
+    eig_max: Optional[float] = _static(default=None)  # lambda_max(D^{-1}A)*1.0001
+
+    @property
+    def n_pad(self) -> int:
+        return self.inv_diag.shape[0]
+
+    @property
+    def dtype(self):
+        return self.A.dtype
+
+
+@_register
+@dataclasses.dataclass(frozen=True)
+class CoarseLU:
+    """Cached dense LU of the coarsest operator (replaces SuperLU_DIST's
+    cached pdgssvx factorization, solve.cpp:117-420, 793-958). The padded
+    tail carries a unit diagonal so the factorization stays nonsingular."""
+
+    lu: jax.Array
+    piv: jax.Array
+    n: int = _static()
+
+    def solve(self, rhs: jax.Array) -> jax.Array:
+        x = jax.scipy.linalg.lu_solve((self.lu, self.piv), rhs.astype(self.lu.dtype))
+        return x
+
+
+@_register
+@dataclasses.dataclass(frozen=True)
+class Hierarchy:
+    levels: tuple                            # tuple[Level, ...]
+    coarse_lu: Optional[CoarseLU]
+    inv_sq_diag: Optional[jax.Array]         # D^{-1/2} of the FINEST level when scaled
+
+    @property
+    def n_levels(self) -> int:
+        return len(self.levels)
+
+    @property
+    def n(self) -> int:
+        return self.levels[0].n
+
+    @property
+    def n_pad(self) -> int:
+        return self.levels[0].n_pad
+
+    @property
+    def dtype(self):
+        return self.levels[0].dtype
+
+
+@dataclasses.dataclass(frozen=True)
+class SolveParams:
+    """Hashable static solve configuration (closed over by jit)."""
+
+    smoother: str = "chebyshev"
+    preSmooth: int = 3
+    postSmooth: int = 3
+    jacobi_omega: float = 2.0 / 3.0
+    direct_solver: str = "LU"
+    CG_coarsest_max_iter: int = 150
+    CG_coarsest_tol: float = 1e-12
+
+    @classmethod
+    def from_options(cls, o: Options) -> "SolveParams":
+        return cls(
+            smoother=o.smoother,
+            preSmooth=o.preSmooth,
+            postSmooth=o.postSmooth,
+            jacobi_omega=o.jacobi_omega,
+            direct_solver=o.direct_solver,
+            CG_coarsest_max_iter=o.CG_coarsest_max_iter,
+            CG_coarsest_tol=o.CG_coarsest_tol,
+        )
+
+
+@dataclasses.dataclass
+class SetupInfo:
+    """Per-level summary for print_lev_info-style reporting
+    (ref saena_object.cpp:111-145) plus the host-side CSR hierarchy, kept to
+    support the lazy-update API (ref saena_object_lazy.cpp update1/2/3:
+    values-only refresh reusing the existing P/R)."""
+
+    sizes: list
+    nnzs: list
+    densities: list
+    formats: list
+    dtypes: list
+    thetas: list
+    coarsen_kinds: list  # "h" or "p"
+    csr_levels: list = dataclasses.field(default_factory=list, repr=False)
+    Ps: list = dataclasses.field(default_factory=list, repr=False)
+    Rs: list = dataclasses.field(default_factory=list, repr=False)
+
+    def table(self) -> str:
+        lines = ["lvl       rows          nnz    density  format    dtype     coarsen"]
+        for i in range(len(self.sizes)):
+            lines.append(
+                f"{i:<3} {self.sizes[i]:>10} {self.nnzs[i]:>12}  "
+                f"{self.densities[i]:>9.2e}  {self.formats[i]:<8} "
+                f"{self.dtypes[i]:<9} {self.coarsen_kinds[i]}"
+            )
+        return "\n".join(lines)
+
+
+# ---------------------------------------------------------------------------
+
+
+def default_dtype():
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
+def coarsen_csr(A: sp.csr_matrix, lvl: int, opts: Options):
+    """One h-coarsening step: aggregation -> P -> R -> filtered Galerkin Ac.
+    Returns (P, R, Ac, last_flag, theta_used) or None if coarsening is not
+    possible/useful (ref coarsen(), saena_object.cpp:409-538)."""
+    n = A.shape[0]
+    agg, n_c, theta = find_aggregation(A, opts.connStrength, opts.adaptive_coarsening)
+    if n_c == 0 or n_c >= n:
+        return None
+    last = False
+    if opts.dynamic_levels:
+        if n_c <= opts.least_row_threshold:
+            last = True
+        elif n_c / n > opts.row_reduction_up_thrshld:
+            last = True
+    P = smoothed_prolongator(A, agg, n_c, omega=opts.Pomega, psmoother=opts.PSmoother)
+    R = restriction(P)
+    Ac = galerkin_product(R, A, P)
+    thre = filter_threshold(lvl + 1, opts.filter_thre, opts.filter_max,
+                            opts.filter_start, opts.filter_rate)
+    Ac = filter_lump(Ac, thre)
+    if opts.sample_sz_percent < 1.0:
+        Ac = sparsify_majid(Ac, opts.sample_sz_percent)
+    return P, R, Ac, last, theta
+
+
+def setup(
+    A: sp.csr_matrix,
+    opts: Optional[Options] = None,
+    dtype=None,
+    use_dense: bool = False,
+    p_levels: Optional[list] = None,
+) -> tuple[Hierarchy, SetupInfo]:
+    """Build the AMG hierarchy from a host CSR matrix.
+
+    ``p_levels``: optional list of host prolongation CSRs to apply FIRST
+    (p-coarsening path for high-order FEM, ref saena_object_pcoarsen_modal
+    .cpp) before switching to h-coarsening; built by saena_tpu.amg.pcoarsen.
+    """
+    opts = opts or Options()
+    dtype = dtype or default_dtype()
+    low_dtype = jnp.dtype(opts.low_dtype)
+
+    A = A.tocsr().astype(np.float64)
+    A.sort_indices()
+
+    inv_sq_diag = None
+    if opts.scale:
+        d = A.diagonal()
+        isd = 1.0 / np.sqrt(np.abs(np.where(d == 0, 1.0, d)))
+        D = sp.diags(isd)
+        A = (D @ A @ D).tocsr()
+        inv_sq_diag = isd
+
+    # ---- host coarsening loop ----
+    csr_levels = [A]
+    Ps, Rs = [], []
+    thetas, kinds = [], []
+
+    if p_levels:
+        for P in p_levels:
+            Acur = csr_levels[-1]
+            R = restriction(P)
+            Ac = galerkin_product(R, Acur, P)
+            Ps.append(P)
+            Rs.append(R)
+            csr_levels.append(Ac)
+            thetas.append(None)
+            kinds.append("p")
+
+    while len(csr_levels) - 1 < opts.max_level:
+        Acur = csr_levels[-1]
+        lvl = len(csr_levels) - 1
+        if opts.dynamic_levels and Acur.shape[0] <= opts.least_row_threshold:
+            break
+        out = coarsen_csr(Acur, lvl, opts)
+        if out is None:
+            break
+        P, R, Ac, last, theta = out
+        Ps.append(P)
+        Rs.append(R)
+        csr_levels.append(Ac)
+        thetas.append(theta)
+        kinds.append("h")
+        if last:
+            break
+
+    hierarchy, info = devicify(
+        csr_levels, Ps, Rs, opts, dtype=dtype, use_dense=use_dense,
+        inv_sq_diag=inv_sq_diag,
+    )
+    info.thetas = thetas + [None]
+    info.coarsen_kinds = kinds + ["-"]
+    return hierarchy, info
+
+
+def devicify(
+    csr_levels,
+    Ps,
+    Rs,
+    opts: Options,
+    dtype=None,
+    use_dense: bool = False,
+    inv_sq_diag=None,
+) -> tuple[Hierarchy, SetupInfo]:
+    """Convert a host CSR hierarchy into device Level pytrees. Split out of
+    setup() so the lazy-update path (update1/2/3) can re-devicify after a
+    values-only refresh without re-aggregating."""
+    dtype = dtype or default_dtype()
+    low_dtype = jnp.dtype(opts.low_dtype)
+    n_lv = len(csr_levels)
+
+    # ---- device conversion ----
+    levels = []
+    info = SetupInfo([], [], [], [], [], [None] * n_lv, ["-"] * n_lv,
+                     csr_levels=list(csr_levels), Ps=list(Ps), Rs=list(Rs))
+    for l, Acsr in enumerate(csr_levels):
+        dt = low_dtype if l >= opts.float_level else dtype
+        is_coarsest = l == n_lv - 1
+        if is_coarsest and opts.direct_solver == "LU":
+            Adev = dense_from_csr(Acsr, dtype=dt, unit_diag_pad=True)
+        else:
+            Adev = device_matrix_from_csr(
+                Acsr,
+                dtype=dt,
+                dense_thre=opts.dense_thre,
+                dense_sz_thre=opts.dense_sz_thre,
+                switch_to_dense=opts.switch_to_dense and (l > 0 or use_dense),
+            )
+        n = Acsr.shape[0]
+        n_pad = pad_to(n)
+        diag = Acsr.diagonal()
+        inv_diag = np.zeros(n_pad)
+        inv_diag[:n] = np.where(diag != 0, 1.0 / np.where(diag == 0, 1.0, diag), 0.0)
+
+        eig = None
+        if opts.smoother == "chebyshev" and (not is_coarsest) and n_lv > 1:
+            eig = float(eig_max_invdiag_host(Acsr))
+
+        P_dev = R_dev = None
+        if l < n_lv - 1:
+            dt_next = low_dtype if (l + 1) >= opts.float_level else dtype
+            P_dev = ell_from_csr(Ps[l], dtype=dt_next, width_quantile=0.98)
+            R_dev = ell_from_csr(Rs[l], dtype=dt_next, width_quantile=0.98)
+
+        levels.append(
+            Level(A=Adev, inv_diag=jnp.asarray(inv_diag, dtype=dt),
+                  P=P_dev, R=R_dev, n=n, lvl=l, eig_max=eig)
+        )
+        info.sizes.append(n)
+        info.nnzs.append(int(Acsr.nnz))
+        info.densities.append(Acsr.nnz / max(1, n * n))
+        info.formats.append(type(Adev).__name__)
+        info.dtypes.append(str(jnp.dtype(dt)))
+
+    # ---- coarsest factorization (cached across solves) ----
+    coarse_lu = None
+    if opts.direct_solver == "LU":
+        Acoarse = csr_levels[-1]
+        n = Acoarse.shape[0]
+        dt = low_dtype if (n_lv - 1) >= opts.float_level else dtype
+        dm = dense_from_csr(Acoarse, dtype=dt, unit_diag_pad=True)
+        lu, piv = jax.scipy.linalg.lu_factor(dm.data)
+        coarse_lu = CoarseLU(lu=lu, piv=piv, n=n)
+
+    hierarchy = Hierarchy(
+        levels=tuple(levels),
+        coarse_lu=coarse_lu,
+        inv_sq_diag=None if inv_sq_diag is None
+        else jnp.asarray(
+            np.pad(inv_sq_diag,
+                   (0, pad_to(csr_levels[0].shape[0]) - csr_levels[0].shape[0])),
+            dtype=dtype),
+    )
+    return hierarchy, info

@@ -1,0 +1,53 @@
+"""Jitted smoothers.
+
+Jacobi (ref saena_matrix.cpp:1044-1071) and Chebyshev (ref :1074-1131,
+classic 3-term recurrence on [0.13*eig, eig] of D^{-1}A, matching homg's
+coefficients so iteration counts line up). Iteration counts are static so
+XLA unrolls and fuses the elementwise chains into the SpMV.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def jacobi(A, inv_diag, u, rhs, iters: int, omega: float = 2.0 / 3.0):
+    """u <- u - omega D^{-1} (A u - rhs), `iters` times."""
+    for _ in range(iters):
+        u = u - omega * inv_diag * (A.matvec(u) - rhs)
+    return u
+
+
+def chebyshev(A, inv_diag, eig_max: float, u, rhs, iters: int):
+    """Chebyshev smoothing; eig_max is a static Python float of
+    lambda_max(D^{-1}A) (already includes the 1.0001 safety factor)."""
+    if iters <= 0:
+        return u
+    alpha = 0.13 * eig_max
+    beta = eig_max
+    delta = (beta - alpha) / 2.0
+    theta = (beta + alpha) / 2.0
+    s1 = theta / delta
+    rhok = 1.0 / s1
+
+    d = inv_diag * (rhs - A.matvec(u)) * (1.0 / theta)
+    u = u + d
+    for _ in range(1, iters):
+        rhokp1 = 1.0 / (2.0 * s1 - rhok)
+        d1 = rhokp1 * rhok
+        d2 = 2.0 * rhokp1 / delta
+        rhok = rhokp1
+        res = inv_diag * (rhs - A.matvec(u)) * d2
+        d = d1 * d + res
+        u = u + d
+    return u
+
+
+def smooth(level, params, u, rhs, iters: int):
+    """Dispatch like saena_object::smooth (saena_object.tpp:5-16)."""
+    if iters <= 0:
+        return u
+    if params.smoother == "jacobi":
+        return jacobi(level.A, level.inv_diag, u, rhs, iters, params.jacobi_omega)
+    elif params.smoother == "chebyshev":
+        return chebyshev(level.A, level.inv_diag, level.eig_max, u, rhs, iters)
+    raise ValueError(f"unknown smoother {params.smoother!r}")

@@ -1,0 +1,116 @@
+"""Strength-of-connection graph and MIS(1) aggregation (host, setup-time).
+
+The reference computes these with distributed halo exchanges
+(create_strength_matrix saena_object_setup1.cpp:520-719, aggregation_1_dist
+:724-995 — an iterative min-index propagation from Olson's "Exposing
+fine-grained parallelism in AMG"). Setup runs on the host here: the same
+fixpoint is evaluated with vectorized numpy rounds (each round is exactly one
+reference while-iteration), so the resulting aggregates — and therefore the
+hierarchy and iteration counts — match the reference's semantics.
+"""
+from __future__ import annotations
+
+import numpy as np
+import scipy.sparse as sp
+
+
+def strength_graph(A: sp.csr_matrix, theta: float) -> sp.csr_matrix:
+    """S_ij = -a_ij / max_{k != i}(-a_ik); keep entries where S_ij > theta or
+    S_ji > theta (union symmetrization, strength_matrix.cpp:233-271).
+    Returns a boolean-pattern CSR without the diagonal."""
+    A = A.tocsr()
+    n = A.shape[0]
+    coo = A.tocoo()
+    off = coo.row != coo.col
+    r, c, v = coo.row[off], coo.col[off], coo.data[off]
+
+    maxrow = np.full(n, -np.inf)
+    np.maximum.at(maxrow, r, -v)
+    # rows with no off-diagonal entries never produce strength edges
+    safe = np.where(np.isfinite(maxrow) & (maxrow != 0), maxrow, 1.0)
+
+    s_row = -v / safe[r]          # scaled by the row's max
+    s_col = -v / safe[c]          # transpose scaling (symmetric-A shortcut)
+    keep = (s_row > theta) | (s_col > theta)
+    return sp.csr_matrix(
+        (np.ones(keep.sum(), dtype=np.int8), (r[keep], c[keep])), shape=(n, n)
+    )
+
+
+def aggregate_mis1(S: sp.csr_matrix):
+    """Distance-1 MIS aggregation, reproducing aggregation_1_dist
+    (saena_object_setup1.cpp:724-995).
+
+    Per round, an undecided node i looks at its strength-neighbors j that are
+    undecided-or-root and takes the minimum index jm (the reference's
+    min-aggregate propagation); if none is below i, i becomes a root; if jm
+    is a decided root, i joins it; otherwise i waits for jm to decide.
+
+    Returns (agg, roots): agg[i] = coarse index of node i's aggregate,
+    roots = fine indices of the root nodes (sorted).
+    """
+    n = S.shape[0]
+    S = S.tocsr()
+    indptr, indices = S.indptr, S.indices
+
+    decided = np.zeros(n, dtype=bool)
+    is_root = np.zeros(n, dtype=bool)
+    agg = np.arange(n, dtype=np.int64)  # root fine-index per node
+
+    row_of = np.repeat(np.arange(n), np.diff(indptr))
+    BIG = n + 1
+
+    while True:
+        und = ~decided
+        if not und.any():
+            break
+        eligible = und | is_root
+        # min eligible neighbor index per row (BIG where none)
+        cand = np.where(eligible[indices], indices, BIG)
+        jm = np.full(n, BIG, dtype=np.int64)
+        np.minimum.at(jm, row_of, cand)
+
+        has_cand = jm < np.arange(n)
+        # no smaller eligible neighbor -> become a root
+        new_root = und & ~has_cand
+        # smaller eligible neighbor that is a decided root -> join it
+        join = und & has_cand & decided[jm.clip(0, n - 1)]
+
+        if not (new_root.any() or join.any()):
+            # every undecided node waits on another undecided node; the
+            # global minimum of each chain is always a new_root, so this
+            # cannot happen — guard against an infinite loop regardless.
+            new_root = und.copy()
+
+        is_root[new_root] = True
+        decided[new_root] = True
+        agg[join] = jm[join]
+        decided[join] = True
+
+    roots = np.flatnonzero(is_root)
+    # aggregate_index_update (setup1.cpp:2103): renumber roots to 0..n_c-1
+    coarse_id = np.searchsorted(roots, agg)
+    return coarse_id.astype(np.int64), roots
+
+
+def find_aggregation(A: sp.csr_matrix, theta: float, adaptive: bool = False):
+    """Strength + aggregation + adaptive-theta loop
+    (find_aggregation, saena_object_setup1.cpp:257-441).
+
+    Returns (agg, n_coarse, theta_used)."""
+    S = strength_graph(A, theta)
+    agg, roots = aggregate_mis1(S)
+    n_c = roots.size
+    if adaptive:
+        division = A.shape[0] / max(1, n_c)
+        th = theta
+        while (division < 1.5 or division > 8.0) and 0.2 <= th <= 0.95:
+            th = th + 0.05 if division > 8.0 else th - 0.05
+            if not (0.2 <= th <= 0.95):
+                break
+            S = strength_graph(A, th)
+            agg, roots = aggregate_mis1(S)
+            n_c = roots.size
+            division = A.shape[0] / max(1, n_c)
+        theta = th
+    return agg, n_c, theta

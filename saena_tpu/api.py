@@ -1,0 +1,311 @@
+"""Public API mirroring the reference's pImpl surface (saena.hpp:14-265):
+``Matrix`` ~ saena::matrix, ``Vector`` ~ saena::vector, ``AMG`` ~ saena::amg,
+with ``Options`` from saena_tpu.config ~ saena::options.
+
+The reference's C++ classes wrap MPI-distributed objects; here Matrix wraps
+host CSR assembly plus a device matrix, and AMG wraps hierarchy setup and the
+jitted solvers. Multi-device execution is selected by passing a
+``jax.sharding.Mesh`` (see saena_tpu.parallel)."""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+from saena_tpu.config import Options
+from saena_tpu.core.coo import CooBuilder, remove_boundary_nodes
+from saena_tpu.io.readers import read_matrix, write_mtx, write_bin
+from saena_tpu.ops.formats import device_matrix_from_csr, pad_to
+from saena_tpu.vector import SaenaVector as Vector
+from saena_tpu.amg import hierarchy as _hier
+from saena_tpu.amg import solvers as _solvers
+from saena_tpu.amg.galerkin import galerkin_product, filter_lump, filter_threshold
+from saena_tpu.amg.eig import eig_max_invdiag_host
+
+
+class Matrix:
+    """saena::matrix analog. set()/assemble() state machine
+    (ref saena_matrix_setup.cpp:4-18)."""
+
+    def __init__(self, add_duplicates: bool = False):
+        self._builder = CooBuilder(add_duplicates=add_duplicates)
+        self._csr: Optional[sp.csr_matrix] = None
+        self._device = None
+        self._dtype = None
+        self._assembled = False
+        self.p_order = 1          # ref saena_matrix.h p_order (pcoarsening)
+        self.prodim = 2
+
+    # ---- ingest (ref saena.cpp:10-262 set overloads) ----
+    def read_file(self, path: str) -> None:
+        self._csr = read_matrix(path)
+        self._assembled = False
+
+    def set(self, rows, cols, vals) -> None:
+        self._builder.set(rows, cols, vals)
+
+    def set_csr(self, A: sp.spmatrix) -> None:
+        self._csr = A.tocsr()
+        self._assembled = False
+
+    def add_duplicates(self, add: bool) -> None:
+        self._builder.add_duplicates = add
+
+    def set_p_order(self, p: int) -> None:
+        self.p_order = p
+
+    def set_prodim(self, d: int) -> None:
+        self.prodim = d
+
+    def assemble(self, scale: bool = False, use_dense: bool = False,
+                 dtype=None) -> "Matrix":
+        if self._csr is None or self._builder.nnz_buffered:
+            if self._builder.nnz_buffered:
+                self._csr = self._builder.assemble()
+        if self._csr is None:
+            raise ValueError("no entries/file set before assemble()")
+        self._scale = scale
+        self._use_dense = use_dense
+        self._dtype = dtype or _hier.default_dtype()
+        self._device = device_matrix_from_csr(
+            self._csr, dtype=self._dtype,
+            switch_to_dense=use_dense, dense_thre=0.0 if use_dense else 0.1,
+            dense_sz_thre=1 << 30 if use_dense else 5000,
+        )
+        self._assembled = True
+        return self
+
+    def update_values(self, vals) -> None:
+        """Replace the nonzero values, keeping the pattern (lazy-update
+        ingredient, ref erase_lazy_update/matrix_setup_lazy_update)."""
+        vals = np.asarray(vals)
+        if self._csr is None or vals.shape != self._csr.data.shape:
+            raise ValueError("pattern mismatch in update_values")
+        self._csr.data[:] = vals
+        if self._assembled:
+            self.assemble(scale=getattr(self, "_scale", False),
+                          use_dense=getattr(self, "_use_dense", False),
+                          dtype=self._dtype)
+
+    # ---- getters (ref saena.cpp getters) ----
+    @property
+    def csr(self) -> sp.csr_matrix:
+        if self._csr is None:
+            raise ValueError("assemble() first")
+        return self._csr
+
+    def get_num_rows(self) -> int:
+        return self.csr.shape[0]
+
+    def get_nnz(self) -> int:
+        return int(self.csr.nnz)
+
+    def get_internal_matrix(self):
+        return self._device
+
+    def matvec(self, v):
+        if self._device is None:
+            self.assemble()
+        v = np.asarray(v)
+        n = self.csr.shape[1]
+        vp = jnp.asarray(np.pad(v, (0, pad_to(n) - n)), dtype=self._dtype)
+        w = self._device.matvec(vp)
+        return np.asarray(w)[: self.csr.shape[0]]
+
+    # ---- io ----
+    def writeMatrixToFile(self, path: str) -> None:
+        if path.endswith(".bin"):
+            write_bin(path, self.csr)
+        else:
+            write_mtx(path, self.csr)
+
+    def erase(self) -> None:
+        self._builder = CooBuilder(add_duplicates=self._builder.add_duplicates)
+        self._csr = None
+        self._device = None
+        self._assembled = False
+
+    destroy = erase
+
+
+class AMG:
+    """saena::amg analog (saena.hpp:195-265)."""
+
+    def __init__(self):
+        self.opts = Options()
+        self.hierarchy: Optional[_hier.Hierarchy] = None
+        self.info: Optional[_hier.SetupInfo] = None
+        self.params: Optional[_hier.SolveParams] = None
+        self._matrix: Optional[Matrix] = None
+        self._rhs: Optional[np.ndarray] = None
+        self._rhs_vector: Optional[Vector] = None
+        self._bound = None       # boundary-removal bookkeeping
+        self.verbose = False
+
+    # ---- setup ----
+    def set_matrix(self, A: Matrix, opts: Optional[Options] = None,
+                   p_levels=None) -> "AMG":
+        if opts is not None:
+            self.opts = opts
+        self._matrix = A
+        csr = A.csr
+        self._bound = None
+        if self.opts.remove_boundary:
+            Ai, interior, bound, bound_diag, _ = remove_boundary_nodes(csr)
+            if bound.size:
+                self._bound = (interior, bound, bound_diag, csr.shape[0])
+                csr = Ai
+        self.hierarchy, self.info = _hier.setup(
+            csr, self.opts, use_dense=getattr(A, "_use_dense", False),
+            p_levels=p_levels,
+        )
+        self.params = _hier.SolveParams.from_options(self.opts)
+        if self.opts.verbose or self.verbose:
+            print(self.info.table())
+        return self
+
+    def set_rhs(self, rhs) -> "AMG":
+        if isinstance(rhs, Vector):
+            self._rhs_vector = rhs
+            rhs = rhs.get_vec()
+        self._rhs = np.asarray(rhs, dtype=np.float64)
+        return self
+
+    # ---- solves (each returns (u, SolveResult)) ----
+    def _run(self, fn, u0=None, **kw):
+        if self.hierarchy is None or self._rhs is None:
+            raise ValueError("set_matrix() and set_rhs() first")
+        rhs = self._rhs
+        bound_sol = None
+        if self._bound is not None:
+            interior, bound, bound_diag, n_full = self._bound
+            bound_sol = rhs[bound] / bound_diag
+            rhs = rhs[interior]
+        n = self.hierarchy.n
+        rhs_p = np.pad(rhs, (0, self.hierarchy.n_pad - n))
+        res = fn(self.hierarchy, rhs_p, params=self.params,
+                 tol=kw.pop("tol", self.opts.tol),
+                 max_iter=kw.pop("max_iter", self.opts.max_iter), **kw)
+        u = np.asarray(res.u)[:n]
+        if self._bound is not None:
+            interior, bound, bound_diag, n_full = self._bound
+            full = np.zeros(n_full)
+            full[interior] = u
+            full[bound] = bound_sol  # ref add_boundary_sol, saena_object.cpp:753
+            u = full
+        return u, res
+
+    def solve_pCG(self, **kw):
+        return self._run(_solvers.solve_pCG, **kw)
+
+    def solve(self, **kw):
+        return self._run(_solvers.solve, **kw)
+
+    def solve_CG(self, **kw):
+        return self._run(_solvers.solve_CG, **kw)
+
+    def solve_smoother(self, **kw):
+        return self._run(_solvers.solve_smoother, **kw)
+
+    def solve_GMRES(self, **kw):
+        return self._run(_solvers.solve_GMRES, **kw)
+
+    def solve_pGMRES(self, **kw):
+        kw.setdefault("precondition", True)
+        return self._run(_solvers.solve_GMRES, **kw)
+
+    # ---- lazy updates (ref saena.hpp:236-241, saena_object_lazy.cpp) ----
+    def update1(self, A_new: Matrix) -> "AMG":
+        """Replace only the finest-level values (same pattern)."""
+        if self.info is None:
+            raise ValueError("set_matrix() first")
+        self.info.csr_levels[0] = A_new.csr
+        self._matrix = A_new
+        self._redevicify()
+        return self
+
+    def update2(self, A_new: Matrix) -> "AMG":
+        """Recompute every coarse operator through the EXISTING P/R."""
+        if self.info is None:
+            raise ValueError("set_matrix() first")
+        csr = A_new.csr
+        levels = [csr]
+        for l, (P, R) in enumerate(zip(self.info.Ps, self.info.Rs)):
+            Ac = galerkin_product(R, levels[-1], P)
+            thre = filter_threshold(l + 1, self.opts.filter_thre,
+                                    self.opts.filter_max, self.opts.filter_start,
+                                    self.opts.filter_rate)
+            levels.append(filter_lump(Ac, thre))
+        self.info.csr_levels = levels
+        self._matrix = A_new
+        self._redevicify()
+        return self
+
+    def update3(self, A_new: Matrix) -> "AMG":
+        """Diff-propagating update; result equals update2 (the reference
+        propagates only local diffs as an optimization, lazy.cpp:1169-2316)."""
+        old = self.info.csr_levels[0] if self.info else None
+        if old is not None and old.nnz == A_new.csr.nnz:
+            diff = (A_new.csr - old)
+            if diff.nnz == 0:
+                return self
+        return self.update2(A_new)
+
+    def _redevicify(self):
+        self.hierarchy, info = _hier.devicify(
+            self.info.csr_levels, self.info.Ps, self.info.Rs, self.opts)
+        info.thetas, info.coarsen_kinds = self.info.thetas, self.info.coarsen_kinds
+        self.info = info
+
+    # ---- misc parity surface ----
+    def matrix_diff(self, A: Matrix, B: Matrix) -> float:
+        d = (A.csr - B.csr)
+        return float(np.abs(d.data).max()) if d.nnz else 0.0
+
+    def matmat(self, A: Matrix, B: Matrix) -> Matrix:
+        """Standalone SpGEMM benchmark entry (ref saena::amg::matmat).
+        Host product here; the on-device ring SpGEMM lives in
+        saena_tpu.ops.spgemm for sharded operands."""
+        C = Matrix()
+        C.set_csr((A.csr @ B.csr).tocsr())
+        C.assemble()
+        return C
+
+    def set_verbose(self, v: bool) -> None:
+        self.verbose = v
+
+    def set_multigrid_max_level(self, n: int) -> None:
+        self.opts.max_level = n
+
+    def set_scale(self, s: bool) -> None:
+        self.opts.scale = s
+
+    def set_sample_sz_percent(self, p: float) -> None:
+        self.opts.sample_sz_percent = p
+
+    def switch_to_dense(self, b: bool) -> None:
+        self.opts.switch_to_dense = b
+
+    def set_dense_threshold(self, thre: float, sz: int) -> None:
+        self.opts.dense_thre = thre
+        self.opts.dense_sz_thre = sz
+
+    def set_shrink_levels(self, *_a, **_k) -> None:
+        """Processor shrinking is subsumed by the replicate_threshold policy
+        on TPU (coarse levels are replicated across the mesh)."""
+
+    def set_shrink_values(self, *_a, **_k) -> None:
+        pass
+
+    def switch_repart(self, *_a, **_k) -> None:
+        pass
+
+    def set_repart_thre(self, *_a, **_k) -> None:
+        pass
+
+    def destroy(self) -> None:
+        self.hierarchy = None
+        self.info = None

@@ -1,0 +1,100 @@
+"""Solver options.
+
+One dataclass replaces the reference's three-way config surface
+(`saena::options` ctor/setters/XML — saena.hpp:127-193, saena.cpp:444-546,
+plus public members on saena_object.h). Parameter names and defaults match
+the reference (public API defaults; see saena.hpp ctor and saena_object.h:140-215).
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional, Sequence
+
+
+@dataclasses.dataclass
+class Options:
+    # ---- outer solver (ref: saena_object.h:154-157; public defaults saena.hpp) ----
+    max_iter: int = 100                # solver_max_iter (public default)
+    tol: float = 1e-8                  # relative-residual tolerance (public default)
+
+    # ---- smoothing (ref: saena_object.h:162-168) ----
+    smoother: str = "chebyshev"        # "jacobi" | "chebyshev"
+    preSmooth: int = 3                 # public default 3 (internal 2)
+    postSmooth: int = 3
+    jacobi_omega: float = 2.0 / 3.0    # ref: saena_matrix.h:182
+
+    # ---- coarsening (ref: saena_object.h:41-52, 166-168) ----
+    PSmoother: str = "jacobi"          # prolongation smoother: "jacobi" | "SPAI"
+    Pomega: float = 2.0 / 3.0          # ref: saena_object.h:168
+    connStrength: float = 0.3          # strength-of-connection threshold
+    dynamic_levels: bool = True
+    adaptive_coarsening: bool = False
+    max_level: int = 10                # public default (internal 20)
+    least_row_threshold: int = 100     # stop coarsening below this global size
+    row_reduction_up_thrshld: float = 0.90
+
+    # ---- mixed precision (ref: saena_object.h:69 float_level) ----
+    float_level: int = 3               # levels >= this use reduced precision
+    low_dtype: str = "float32"         # dtype for levels >= float_level ("float32"|"bfloat16")
+
+    # ---- Galerkin filtering (ref: saena_object.h:203-210) ----
+    filter_thre: float = 1e-12
+    filter_max: float = 1e-8
+    filter_start: int = 1
+    filter_rate: int = 2               # threshold multiplies by 10^rate per level
+
+    # ---- dense switch (ref: saena_object.h:143-146) ----
+    switch_to_dense: bool = True
+    dense_thre: float = 0.1
+    dense_sz_thre: int = 5000
+
+    # ---- coarsest solve (ref: saena_object.h:155-157, 165) ----
+    direct_solver: str = "LU"          # "LU" (dense, replaces SuperLU_DIST) | "CG"
+    CG_coarsest_max_iter: int = 150
+    CG_coarsest_tol: float = 1e-12
+
+    # ---- sparsification (ref: saena_object.h:195-201) ----
+    sample_sz_percent: float = 1.0     # < 1 enables stochastic sparsification of Ac
+
+    # ---- scaling (ref: saena_object.h:53 `scale`) ----
+    scale: bool = False                # symmetric D^{-1/2} A D^{-1/2} scaling
+
+    # ---- parallel policy (TPU-native analogs of shrink/repart) ----
+    replicate_threshold: int = 5000    # coarse levels below this global size are replicated
+                                       # (analog of processor shrinking to 1 rank, shrink.cpp:67)
+    halo_mode: str = "exchange"        # "exchange" (packed all_to_all) | "allgather"
+    compress_halo: bool = False        # ZFP-analog: reduced-precision halo payloads
+    halo_dtype: str = "bfloat16"       # payload dtype when compress_halo
+
+    # ---- misc ----
+    remove_boundary: bool = False
+    verbose: bool = False
+    petsc_solver: str = ""             # kept for API parity; unused
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_file(cls, path: str) -> "Options":
+        """Load options from a JSON file (replaces the pugixml XML path,
+        saena.cpp:444-546). Unknown keys are rejected."""
+        with open(path) as f:
+            data = json.load(f)
+        return cls.from_dict(data)
+
+    @classmethod
+    def from_dict(cls, data: dict) -> "Options":
+        fields = {f.name for f in dataclasses.fields(cls)}
+        unknown = set(data) - fields
+        if unknown:
+            raise ValueError(f"unknown option(s): {sorted(unknown)}")
+        return cls(**data)
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    def save(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump(self.to_dict(), f, indent=2)
+
+    def replace(self, **kw) -> "Options":
+        return dataclasses.replace(self, **kw)

@@ -1,0 +1,297 @@
+"""Device sparse-matrix formats and SpMV.
+
+TPU-first re-design of the reference's CSR-local/CSC-remote SpMV
+(saena_matrix_matvec.cpp:9-113) and dense fallback (saena_matrix_dense.cpp).
+The reference's scalar CSR loops cannot map to a vector unit; instead we use
+static-shape, lane-aligned formats XLA fuses into a few wide ops:
+
+- ``EllMatrix``: slot-major ELLPACK — cols/vals stored ``(width, n_pad)`` so
+  the row dimension is the TPU lane dimension. SpMV = ``width`` gathers +
+  multiply + tree-sum, all fused by XLA; rows longer than ``width`` spill to
+  a small COO scatter-add tail (hybrid ELL, handles skewed SuiteSparse rows).
+- ``DiaMatrix``: diagonal storage for banded/stencil matrices (Poisson,
+  band_matrix): SpMV = static shifted slices × diagonals — pure VPU, no
+  gather at all. This is the speed-of-light format for the reference's
+  headline Laplacian workloads.
+- ``DenseMatrix``: coarse levels switch to dense (ref saena_object_setup2.cpp:
+  327-339) and ride the MXU.
+
+Vector convention: every on-device vector in a "space" of logical size n is
+padded to ``pad_to(n)`` (multiple of 128, the TPU lane count) with zeros.
+All kernels preserve zero padding, so no slicing happens anywhere in the
+solve hot path and every jitted shape is 128-aligned.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+PAD = 128  # lane alignment for all device arrays
+
+
+def pad_to(n: int, m: int = PAD) -> int:
+    return max(((n + m - 1) // m) * m, m)
+
+
+def _register(cls):
+    data = [f.name for f in dataclasses.fields(cls) if not f.metadata.get("static")]
+    meta = [f.name for f in dataclasses.fields(cls) if f.metadata.get("static")]
+    jax.tree_util.register_dataclass(cls, data_fields=data, meta_fields=meta)
+    return cls
+
+
+def _static(**kw):
+    return dataclasses.field(metadata={"static": True}, **kw)
+
+
+# ---------------------------------------------------------------------------
+
+
+@_register
+@dataclasses.dataclass(frozen=True)
+class EllMatrix:
+    """Hybrid slot-major ELLPACK. cols/vals: (width, n_pad); padding slots
+    have col=0, val=0. Spill triples hold rows whose nnz exceeds width."""
+
+    cols: jax.Array            # (width, n_pad) int32
+    vals: jax.Array            # (width, n_pad) dtype
+    spill_rows: jax.Array      # (n_spill,) int32
+    spill_cols: jax.Array      # (n_spill,) int32
+    spill_vals: jax.Array      # (n_spill,) dtype
+    shape: tuple = _static()   # logical (n_rows, n_cols)
+    nnz: int = _static()
+
+    @property
+    def dtype(self):
+        return self.vals.dtype
+
+    @property
+    def n_pad(self) -> int:
+        return self.cols.shape[1]
+
+    def matvec(self, x: jax.Array) -> jax.Array:
+        """y = A @ x. x: (pad_to(n_cols),) → y: (pad_to(n_rows),)."""
+        x = x.astype(self.dtype)
+        gathered = jnp.take(x, self.cols, axis=0)          # (width, n_pad)
+        y = jnp.sum(self.vals * gathered, axis=0)          # (n_pad,)
+        if self.spill_rows.shape[0] > 0:
+            contrib = self.spill_vals * jnp.take(x, self.spill_cols, axis=0)
+            y = y.at[self.spill_rows].add(contrib)
+        return y
+
+    def astype(self, dtype) -> "EllMatrix":
+        return dataclasses.replace(
+            self, vals=self.vals.astype(dtype), spill_vals=self.spill_vals.astype(dtype)
+        )
+
+
+@_register
+@dataclasses.dataclass(frozen=True)
+class DiaMatrix:
+    """Diagonal (DIA) storage: data[k, i] = A[i, i + offsets[k]].
+    SpMV is a sum of statically shifted slices — no gathers."""
+
+    data: jax.Array                 # (ndiag, n_pad)
+    shape: tuple = _static()        # logical (n, n) — square only
+    offsets: tuple = _static()      # static tuple of ints
+    nnz: int = _static()
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    @property
+    def n_pad(self) -> int:
+        return self.data.shape[1]
+
+    def matvec(self, x: jax.Array) -> jax.Array:
+        x = x.astype(self.dtype)
+        np_ = self.n_pad
+        lo = max(0, -min(self.offsets))
+        hi = max(0, max(self.offsets))
+        xp = jnp.pad(x, (lo, hi))
+        y = jnp.zeros(np_, dtype=self.dtype)
+        for k, off in enumerate(self.offsets):
+            y = y + self.data[k] * jax.lax.dynamic_slice(xp, (lo + off,), (np_,))
+        return y
+
+    def astype(self, dtype) -> "DiaMatrix":
+        return dataclasses.replace(self, data=self.data.astype(dtype))
+
+
+@_register
+@dataclasses.dataclass(frozen=True)
+class DenseMatrix:
+    """Row-major dense block, padded; rides the MXU."""
+
+    data: jax.Array            # (n_pad, m_pad)
+    shape: tuple = _static()
+    nnz: int = _static()
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    @property
+    def n_pad(self) -> int:
+        return self.data.shape[0]
+
+    def matvec(self, x: jax.Array) -> jax.Array:
+        x = x.astype(self.dtype)
+        return jnp.dot(self.data, x, preferred_element_type=self.dtype)
+
+    def astype(self, dtype) -> "DenseMatrix":
+        return dataclasses.replace(self, data=self.data.astype(dtype))
+
+
+DeviceMatrix = EllMatrix | DiaMatrix | DenseMatrix
+
+
+# ---------------------------------------------------------------------------
+# host-side converters (setup path, numpy)
+# ---------------------------------------------------------------------------
+
+
+def ell_from_csr(
+    A: sp.spmatrix,
+    dtype=jnp.float32,
+    width: Optional[int] = None,
+    width_quantile: float = 1.0,
+    col_perm: Optional[np.ndarray] = None,
+) -> EllMatrix:
+    """Convert CSR to hybrid slot-major ELL.
+
+    width defaults to the max row nnz; with width_quantile < 1 it is cut at
+    that quantile and the tail spills to COO (for skewed Florida-style rows).
+    """
+    A = A.tocsr()
+    A.sort_indices()
+    n, m = A.shape
+    nnz_per_row = np.diff(A.indptr)
+    if width is None:
+        if nnz_per_row.size == 0 or A.nnz == 0:
+            width = 1
+        elif width_quantile >= 1.0:
+            width = int(nnz_per_row.max())
+        else:
+            q = int(np.quantile(nnz_per_row, width_quantile))
+            width = max(1, q)
+            # don't spill more than ~10% of nnz
+            spill = int(np.maximum(nnz_per_row - width, 0).sum())
+            if spill > 0.1 * A.nnz:
+                width = int(nnz_per_row.max())
+    width = max(1, width)
+
+    n_pad = pad_to(n)
+    cols = np.zeros((width, n_pad), dtype=np.int32)
+    vals = np.zeros((width, n_pad), dtype=np.float64)
+    take = np.minimum(nnz_per_row, width)
+
+    # slot-major fill: slot k holds each row's k-th entry
+    rows_idx = np.repeat(np.arange(n), take)
+    slot_idx = _ranges(take)
+    src = A.indptr[:-1].repeat(take) + slot_idx
+    cols[slot_idx, rows_idx] = A.indices[src]
+    vals[slot_idx, rows_idx] = A.data[src]
+
+    # spill: entries beyond width
+    over = nnz_per_row - take
+    s_rows = np.repeat(np.arange(n), over).astype(np.int32)
+    s_src = (A.indptr[:-1] + take).repeat(over) + _ranges(over)
+    s_cols = A.indices[s_src].astype(np.int32)
+    s_vals = A.data[s_src]
+
+    if col_perm is not None:
+        cols = col_perm[cols].astype(np.int32)
+        s_cols = col_perm[s_cols].astype(np.int32)
+
+    return EllMatrix(
+        cols=jnp.asarray(cols),
+        vals=jnp.asarray(vals, dtype=dtype),
+        spill_rows=jnp.asarray(s_rows),
+        spill_cols=jnp.asarray(s_cols),
+        spill_vals=jnp.asarray(s_vals, dtype=dtype),
+        shape=(n, m),
+        nnz=int(A.nnz),
+    )
+
+
+def _ranges(counts: np.ndarray) -> np.ndarray:
+    """[0..c0), [0..c1), ... concatenated."""
+    counts = counts.astype(np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    ids = np.arange(total)
+    starts = np.repeat(np.cumsum(counts) - counts, counts)
+    return ids - starts
+
+
+def dia_offsets_of(A: sp.spmatrix) -> np.ndarray:
+    coo = A.tocoo()
+    return np.unique(coo.col.astype(np.int64) - coo.row.astype(np.int64))
+
+
+def dia_from_csr(A: sp.spmatrix, dtype=jnp.float32) -> DiaMatrix:
+    coo = A.tocoo()
+    n, m = A.shape
+    if n != m:
+        raise ValueError("DIA format requires a square matrix")
+    offs = coo.col.astype(np.int64) - coo.row.astype(np.int64)
+    uniq = np.unique(offs)
+    n_pad = pad_to(n)
+    data = np.zeros((uniq.size, n_pad), dtype=np.float64)
+    k = np.searchsorted(uniq, offs)
+    data[k, coo.row] = coo.data  # canonical CSR → no duplicate (k, row) pairs
+    return DiaMatrix(
+        data=jnp.asarray(data, dtype=dtype),
+        shape=(n, m),
+        offsets=tuple(int(o) for o in uniq),
+        nnz=int(A.nnz),
+    )
+
+
+def dense_from_csr(A: sp.spmatrix, dtype=jnp.float32, unit_diag_pad: bool = False) -> DenseMatrix:
+    n, m = A.shape
+    n_pad, m_pad = pad_to(n), pad_to(m)
+    d = np.zeros((n_pad, m_pad), dtype=np.float64)
+    d[:n, :m] = np.asarray(A.todense())
+    if unit_diag_pad and n_pad == m_pad:
+        idx = np.arange(n, n_pad)
+        d[idx, idx] = 1.0  # keep padded system nonsingular for LU
+    return DenseMatrix(data=jnp.asarray(d, dtype=dtype), shape=(n, m), nnz=int(A.nnz))
+
+
+def device_matrix_from_csr(
+    A: sp.spmatrix,
+    dtype=jnp.float32,
+    dense_thre: float = 0.1,
+    dense_sz_thre: int = 5000,
+    switch_to_dense: bool = True,
+    max_dia_diags: int = 40,
+    dia_fill_thre: float = 0.3,
+) -> DeviceMatrix:
+    """Pick the best device format for a matrix.
+
+    Mirrors the reference's dense switch (density > dense_thre && Mbig <=
+    dense_sz_thre, saena_object_setup2.cpp:327-339) and adds a TPU-specific
+    DIA fast path for stencil-structured matrices.
+    """
+    A = A.tocsr()
+    n, m = A.shape
+    density = A.nnz / max(1, n * m)
+    if switch_to_dense and density > dense_thre and max(n, m) <= dense_sz_thre:
+        return dense_from_csr(A, dtype=dtype)
+    if n == m and A.nnz > 0:
+        offs = dia_offsets_of(A)
+        if offs.size <= max_dia_diags:
+            fill = A.nnz / (offs.size * n)
+            if fill >= dia_fill_thre:
+                return dia_from_csr(A, dtype=dtype)
+    return ell_from_csr(A, dtype=dtype, width_quantile=0.98)

@@ -1,0 +1,199 @@
+"""AMG hierarchy + solver convergence tests.
+
+Oracles per SURVEY.md §4: manufactured-solution Laplacian check, residual
+tolerance check, Galerkin product vs scipy R@A@P, iteration counts in the
+range AMG-preconditioned CG delivers on Poisson problems."""
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from saena_tpu.config import Options
+from saena_tpu.amg import hierarchy as H
+from saena_tpu.amg import solvers as S
+from saena_tpu.amg.strength import aggregate_mis1, find_aggregation, strength_graph
+from saena_tpu.amg.prolongation import smoothed_prolongator, restriction
+from saena_tpu.amg.galerkin import filter_lump, galerkin_product
+from saena_tpu.generators import band_matrix, laplacian2D, laplacian3D, laplacian3D_set_rhs
+from saena_tpu.ops.formats import pad_to
+
+
+def _pad(v, n_pad):
+    return np.pad(v, (0, n_pad - v.size))
+
+
+def test_strength_and_aggregation():
+    A = laplacian3D(10, 10, 10)
+    S_ = strength_graph(A, 0.3)
+    assert S_.nnz > 0
+    agg, roots = aggregate_mis1(S_)
+    n = A.shape[0]
+    assert agg.shape == (n,)
+    assert roots.size < n
+    assert (agg >= 0).all() and (agg < roots.size).all()
+    # every aggregate is used
+    assert np.unique(agg).size == roots.size
+    # roots map to their own aggregate id
+    np.testing.assert_array_equal(agg[roots], np.arange(roots.size))
+
+
+def test_aggregation_coarsening_ratio():
+    A = laplacian2D(32, 32)
+    agg, n_c, _ = find_aggregation(A, 0.3)
+    ratio = A.shape[0] / n_c
+    assert 1.5 < ratio < 10
+
+
+def test_galerkin_vs_scipy():
+    A = laplacian2D(20, 20)
+    agg, n_c, _ = find_aggregation(A, 0.3)
+    P = smoothed_prolongator(A, agg, n_c)
+    R = restriction(P)
+    Ac = galerkin_product(R, A, P)
+    ref = (P.T @ A @ P).tocsr()
+    assert np.abs(Ac - ref).max() < 1e-12
+
+
+def test_filter_lump_preserves_rowsum():
+    A = laplacian2D(16, 16)
+    agg, n_c, _ = find_aggregation(A, 0.3)
+    P = smoothed_prolongator(A, agg, n_c)
+    Ac = galerkin_product(restriction(P), A, P)
+    F = filter_lump(Ac, 1e-3)
+    np.testing.assert_allclose(
+        np.asarray(F.sum(axis=1)).ravel(), np.asarray(Ac.sum(axis=1)).ravel(),
+        rtol=1e-12, atol=1e-12,
+    )
+
+
+def _solve_problem(A, rhs, opts=None, solver="pCG", **kw):
+    opts = opts or Options()
+    hier, info = H.setup(A, opts)
+    params = H.SolveParams.from_options(opts)
+    rhs_p = _pad(rhs, hier.n_pad)
+    fn = {"pCG": S.solve_pCG, "CG": S.solve_CG, "vcycle": S.solve,
+          "smoother": S.solve_smoother, "GMRES": S.solve_GMRES}[solver]
+    res = fn(hier, rhs_p, params=params, **kw)
+    return hier, info, res
+
+
+def test_pcg_poisson3d():
+    m = 16
+    A = laplacian3D(m, m, m)
+    rhs = laplacian3D_set_rhs(m, m, m)
+    hier, info, res = _solve_problem(A, rhs, tol=1e-8, max_iter=100)
+    assert hier.n_levels >= 2
+    assert float(res.rel_res) < 1e-8
+    # AMG-preconditioned CG on Poisson: expect O(10) iterations
+    assert int(res.iters) < 40
+    # residual check against scipy
+    u = np.asarray(res.u)[: A.shape[0]]
+    r = rhs - A @ u
+    assert np.linalg.norm(r) / np.linalg.norm(rhs) < 1e-7
+
+
+def test_pcg_poisson2d():
+    A = laplacian2D(40, 40)
+    rhs = np.ones(A.shape[0])
+    _, _, res = _solve_problem(A, rhs, tol=1e-8, max_iter=100)
+    assert float(res.rel_res) < 1e-8
+    assert int(res.iters) < 40
+
+
+def test_pcg_band_shifted():
+    # band_matrix itself is indefinite (the reference uses it only for
+    # SpMV/smoother benchmarks); shift to SPD for the CG path
+    A = (band_matrix(500, 4) + 0.5 * sp.identity(500)).tocsr()
+    rhs = np.ones(500)
+    _, _, res = _solve_problem(A, rhs, tol=1e-8, max_iter=200)
+    u = np.asarray(res.u)[:500]
+    assert np.linalg.norm(rhs - A @ u) / np.linalg.norm(rhs) < 1e-7
+
+
+def test_gmres_band_indefinite():
+    # indefinite system: CG inapplicable; full (unrestarted) GMRES must solve
+    A = band_matrix(300, 4)
+    rhs = np.ones(300)
+    _, _, res = _solve_problem(A, rhs, solver="GMRES", tol=1e-8,
+                               max_iter=300, restart=300, precondition=False)
+    assert float(res.final_res / res.init_res) < 1e-6
+
+
+def test_jacobi_smoother_option():
+    A = laplacian2D(24, 24)
+    rhs = np.ones(A.shape[0])
+    opts = Options(smoother="jacobi", preSmooth=2, postSmooth=2)
+    _, _, res = _solve_problem(A, rhs, opts=opts, tol=1e-8, max_iter=150)
+    assert float(res.rel_res) < 1e-8
+
+
+def test_vcycle_stationary_solver():
+    m = 12
+    A = laplacian3D(m, m, m)
+    rhs = laplacian3D_set_rhs(m, m, m)
+    _, _, res = _solve_problem(A, rhs, solver="vcycle", tol=1e-8, max_iter=60)
+    assert float(res.rel_res) < 1e-8
+
+
+def test_plain_cg():
+    A = laplacian2D(16, 16)
+    rhs = np.ones(A.shape[0])
+    _, _, res = _solve_problem(A, rhs, solver="CG", tol=1e-8, max_iter=2000)
+    assert float(res.rel_res) < 1e-8
+
+
+def test_gmres():
+    m = 10
+    A = laplacian3D(m, m, m)
+    rhs = laplacian3D_set_rhs(m, m, m)
+    _, _, res = _solve_problem(A, rhs, solver="GMRES", tol=1e-8, max_iter=100)
+    assert float(res.final_res / res.init_res) < 1e-7
+
+
+def test_manufactured_solution():
+    """Solve -lap u = f and compare to the manufactured solution
+    (ref laplacian3D_check_solution, aux_functions2.cpp:702)."""
+    from saena_tpu.generators import laplacian3D_solution
+
+    m = 24
+    A = laplacian3D(m, m, m)
+    rhs = laplacian3D_set_rhs(m, m, m)
+    _, _, res = _solve_problem(A, rhs, tol=1e-10, max_iter=200)
+    u = np.asarray(res.u)[: A.shape[0]]
+    u_exact = laplacian3D_solution(m, m, m)
+    # discretization error dominates: O(h^2) ~ (1/23)^2 ~ 2e-3
+    err = np.abs(u - u_exact).max() / np.abs(u_exact).max()
+    assert err < 0.05
+
+
+def test_scale_option():
+    m = 12
+    A = laplacian3D(m, m, m)
+    rhs = laplacian3D_set_rhs(m, m, m)
+    opts = Options(scale=True)
+    _, _, res = _solve_problem(A, rhs, opts=opts, tol=1e-8, max_iter=100)
+    u = np.asarray(res.u)[: A.shape[0]]
+    assert np.linalg.norm(rhs - A @ u) / np.linalg.norm(rhs) < 1e-6
+
+
+def test_float_level_mixed_precision():
+    m = 14
+    A = laplacian3D(m, m, m)
+    rhs = laplacian3D_set_rhs(m, m, m)
+    hi, _, res64 = _solve_problem(A, rhs, opts=Options(float_level=99), tol=1e-8)
+    lo, _, res32 = _solve_problem(A, rhs, opts=Options(float_level=1), tol=1e-8)
+    assert float(res32.rel_res) < 1e-8  # preconditioner quality survives f32
+    assert str(lo.levels[-1].A.dtype) == "float32"
+    assert str(hi.levels[-1].A.dtype) == "float64"
+
+
+def test_solver_params_cache_hit():
+    """Second solve with same shapes must not re-trace (cached jit)."""
+    A = laplacian2D(20, 20)
+    rhs = np.ones(A.shape[0])
+    opts = Options()
+    hier, _ = H.setup(A, opts)
+    params = H.SolveParams.from_options(opts)
+    rhs_p = _pad(rhs, hier.n_pad)
+    r1 = S.solve_pCG(hier, rhs_p, params=params)
+    r2 = S.solve_pCG(hier, 2 * rhs_p, params=params)
+    np.testing.assert_allclose(np.asarray(r2.u), 2 * np.asarray(r1.u), rtol=1e-10)

@@ -1,0 +1,114 @@
+"""Public API parity surface (saena.hpp analog)."""
+import numpy as np
+import pytest
+
+from saena_tpu import AMG, Matrix, Options, Vector
+from saena_tpu.generators import laplacian3D, laplacian3D_set_rhs
+
+
+def test_matrix_set_assemble_matvec():
+    A = Matrix()
+    A.set([0, 1, 2], [0, 1, 2], [2.0, 3.0, 4.0])
+    A.set([0], [1], [1.0])
+    A.assemble()
+    assert A.get_num_rows() == 3 and A.get_nnz() == 4
+    y = A.matvec(np.array([1.0, 1.0, 1.0]))
+    np.testing.assert_allclose(y, [3.0, 3.0, 4.0])
+
+
+def test_vector_assemble_and_return():
+    v = Vector()
+    v.set([3, 1, 0, 2], [30.0, 10.0, 0.0, 20.0])
+    out = v.assemble()
+    np.testing.assert_allclose(out, [0.0, 10.0, 20.0, 30.0])
+    back = v.return_vec(np.array([5.0, 6.0, 7.0, 8.0]))
+    np.testing.assert_allclose(back, [8.0, 6.0, 5.0, 7.0])
+
+
+def test_vector_dup_flags():
+    v = Vector(add_duplicates=True)
+    v.set([0, 0], [1.0, 2.0])
+    np.testing.assert_allclose(v.assemble(), [3.0])
+    w = Vector(add_duplicates=False)
+    w.set([0, 0], [1.0, 2.0])
+    np.testing.assert_allclose(w.assemble(), [2.0])
+
+
+def test_amg_end_to_end():
+    m = 12
+    A = Matrix()
+    A.set_csr(laplacian3D(m, m, m))
+    A.assemble()
+    solver = AMG()
+    solver.set_matrix(A, Options())
+    solver.set_rhs(laplacian3D_set_rhs(m, m, m))
+    u, res = solver.solve_pCG()
+    assert float(res.rel_res) < 1e-8
+    r = solver._rhs - A.csr @ u
+    assert np.linalg.norm(r) / np.linalg.norm(solver._rhs) < 1e-7
+
+
+def test_amg_remove_boundary():
+    m = 10
+    A = Matrix()
+    A.set_csr(laplacian3D(m, m, m))
+    A.assemble()
+    solver = AMG()
+    solver.set_matrix(A, Options(remove_boundary=True))
+    rhs = laplacian3D_set_rhs(m, m, m)
+    solver.set_rhs(rhs)
+    u, res = solver.solve_pCG()
+    assert u.shape[0] == m**3
+    r = rhs - A.csr @ u
+    assert np.linalg.norm(r) / np.linalg.norm(rhs) < 1e-6
+
+
+def test_lazy_updates():
+    m = 10
+    base = laplacian3D(m, m, m)
+    A = Matrix()
+    A.set_csr(base)
+    A.assemble()
+    solver = AMG()
+    solver.set_matrix(A, Options())
+    rhs = laplacian3D_set_rhs(m, m, m)
+    solver.set_rhs(rhs)
+    u0, _ = solver.solve_pCG()
+
+    # perturb values (same pattern)
+    A2csr = base.copy()
+    A2csr.data = A2csr.data * 1.5
+    A2 = Matrix()
+    A2.set_csr(A2csr)
+    A2.assemble()
+
+    solver.update2(A2)
+    u2, res2 = solver.solve_pCG()
+    r = rhs - A2csr @ u2
+    assert np.linalg.norm(r) / np.linalg.norm(rhs) < 1e-6
+
+    solver.update1(A2)
+    u1, res1 = solver.solve_pCG()
+    r = rhs - A2csr @ u1
+    assert np.linalg.norm(r) / np.linalg.norm(rhs) < 1e-6
+
+
+def test_options_file_roundtrip(tmp_path):
+    o = Options(max_iter=7, smoother="jacobi")
+    p = str(tmp_path / "opts.json")
+    o.save(p)
+    o2 = Options.from_file(p)
+    assert o2 == o
+    with pytest.raises(ValueError):
+        Options.from_dict({"bogus": 1})
+
+
+def test_matmat_api():
+    from saena_tpu.generators import random_symm_matrix
+
+    A = Matrix(); A.set_csr(random_symm_matrix(50, 0.1, seed=1)); A.assemble()
+    B = Matrix(); B.set_csr(random_symm_matrix(50, 0.1, seed=2)); B.assemble()
+    solver = AMG()
+    C = solver.matmat(A, B)
+    ref = (A.csr @ B.csr).tocsr()
+    assert np.abs(C.csr - ref).max() < 1e-12

@@ -1,0 +1,82 @@
+"""Device format SpMV correctness vs scipy (the reference's test strategy
+uses cross-library oracles; scipy is ours — SURVEY.md §4)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from saena_tpu.generators import band_matrix, laplacian3D, random_symm_matrix
+from saena_tpu.ops.formats import (
+    DenseMatrix,
+    DiaMatrix,
+    EllMatrix,
+    dense_from_csr,
+    device_matrix_from_csr,
+    dia_from_csr,
+    ell_from_csr,
+    pad_to,
+)
+
+
+def _spmv_check(A, dev, rtol=1e-12):
+    n, m = A.shape
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(m)
+    xp = jnp.asarray(np.pad(x, (0, pad_to(m) - m)))
+    y = np.asarray(dev.matvec(xp))[:n]
+    np.testing.assert_allclose(y, A @ x, rtol=rtol, atol=1e-12)
+
+
+@pytest.mark.parametrize("conv", [ell_from_csr, dia_from_csr, dense_from_csr])
+def test_spmv_band(conv):
+    A = band_matrix(200, 5)
+    _spmv_check(A, conv(A, dtype=jnp.float64))
+
+
+def test_spmv_laplacian_ell():
+    A = laplacian3D(8, 8, 8)
+    _spmv_check(A, ell_from_csr(A, dtype=jnp.float64))
+
+
+def test_spmv_laplacian_dia():
+    A = laplacian3D(8, 8, 8)
+    _spmv_check(A, dia_from_csr(A, dtype=jnp.float64))
+
+
+def test_spmv_random():
+    A = random_symm_matrix(300, 0.05, seed=1)
+    _spmv_check(A, ell_from_csr(A, dtype=jnp.float64))
+
+
+def test_ell_spill_path():
+    # one long row forces the hybrid spill when width is quantile-capped
+    A = random_symm_matrix(600, 0.02, seed=2).tolil()
+    A[7, :150] = 1.5
+    A = A.tocsr()
+    dev = ell_from_csr(A, dtype=jnp.float64, width_quantile=0.9)
+    assert dev.spill_rows.shape[0] > 0
+    _spmv_check(A, dev)
+
+
+def test_rectangular_ell():
+    rng = np.random.default_rng(3)
+    A = sp.random(130, 77, density=0.1, random_state=3, format="csr")
+    _spmv_check(A, ell_from_csr(A, dtype=jnp.float64))
+
+
+def test_format_selection():
+    lap = laplacian3D(8, 8, 8)
+    assert isinstance(device_matrix_from_csr(lap, dtype=jnp.float64), DiaMatrix)
+    small_dense = random_symm_matrix(100, 0.5, seed=4)
+    assert isinstance(device_matrix_from_csr(small_dense, dtype=jnp.float64), DenseMatrix)
+    sparse_rand = random_symm_matrix(2000, 0.004, seed=5)
+    assert isinstance(device_matrix_from_csr(sparse_rand, dtype=jnp.float64), EllMatrix)
+
+
+def test_padding_preserved():
+    A = laplacian3D(5, 5, 5)  # n=125, pad 128
+    dev = ell_from_csr(A, dtype=jnp.float64)
+    x = jnp.asarray(np.pad(np.ones(125), (0, 3)))
+    y = dev.matvec(x)
+    assert y.shape[0] == 128
+    np.testing.assert_allclose(np.asarray(y)[125:], 0.0)
