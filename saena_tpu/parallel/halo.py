@@ -1,0 +1,190 @@
+"""Static halo-exchange plans (the vIndex/vdispls/rdispls analog).
+
+The reference builds a persistent point-to-point exchange pattern once per
+matrix (set_off_on_diagonal, saena_matrix_setup.cpp:793-1098): vIndex lists
+the local slots each rank packs for each neighbor; the SpMV then does
+pack -> Isend/Irecv -> local compute -> remote accumulate.
+
+TPU-native re-design: the pattern becomes a pair of STATIC index arrays baked
+at setup. Inside shard_map the exchange is
+
+    send = x_loc[send_idx]            # (D, max_send) gather — the pack
+    recv = lax.all_to_all(send, 'd')  # one fused collective — the Isend/Irecv
+    x_ext = concat([x_loc, recv.ravel()])
+
+and matrix column ids are pre-remapped into this extended local space, so
+the "remote accumulation loop" disappears into the same fused SpMV gather.
+Per-pair counts are padded to the max so every shape is static; XLA overlaps
+the collective with local compute via async scheduling.
+
+Compressed halo (the ZFP analog, saena_matrix_zfp.cpp): the send buffer is
+cast to a reduced dtype (bf16/f16) before the collective and upcast after.
+
+Vector-space convention: "blocked-padded" global indexing — device d's rows
+live at [d * n_loc_pad, d * n_loc_pad + rows_d); an all_gather of local
+blocks therefore IS the blocked-padded global vector.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from saena_tpu.ops.formats import pad_to
+
+
+def _register(cls):
+    data = [f.name for f in dataclasses.fields(cls) if not f.metadata.get("static")]
+    meta = [f.name for f in dataclasses.fields(cls) if f.metadata.get("static")]
+    jax.tree_util.register_dataclass(cls, data_fields=data, meta_fields=meta)
+    return cls
+
+
+def _static(**kw):
+    return dataclasses.field(metadata={"static": True}, **kw)
+
+
+@_register
+@dataclasses.dataclass(frozen=True)
+class HaloPlan:
+    """Per-device halo exchange: send_idx[d, e, :] = local slots device d
+    packs for device e (stacked on the sharded leading axis)."""
+
+    send_idx: jax.Array            # (D, D, max_send) int32
+    n_local: int = _static()       # n_loc_pad of the COLUMN space
+    max_send: int = _static()
+    mode: str = _static(default="exchange")   # exchange | allgather | direct | none
+    axis: str = _static(default="d")
+    compress: str = _static(default="")       # "", "bfloat16", "float16"
+
+    def extend(self, x_loc: jax.Array, exact: bool = False) -> jax.Array:
+        """Build the extended local vector the SpMV gathers from.
+        x_loc: (n_loc_pad,) local block inside shard_map.
+        exact=True skips halo compression (outer-Krylov matvecs must see the
+        exact operator; only preconditioner matvecs ride the lossy halo —
+        the analog of the reference applying ZFP inside the solve's matvec
+        while CG convergence is governed by the preconditioned operator)."""
+        if self.mode in ("direct", "none"):
+            return x_loc
+        if self.mode == "allgather":
+            return jax.lax.all_gather(x_loc, self.axis, tiled=True)
+        send = jnp.take(x_loc, self.send_idx[0], axis=0)     # (D, max_send)
+        compress = self.compress and not exact
+        if compress:
+            send = send.astype(jnp.dtype(self.compress))
+        recv = jax.lax.all_to_all(send, self.axis, split_axis=0, concat_axis=0)
+        if compress:
+            recv = recv.astype(x_loc.dtype)
+        return jnp.concatenate([x_loc, recv.reshape(-1)])
+
+
+def owner_of(cols: np.ndarray, split: np.ndarray) -> np.ndarray:
+    """Owning device of each global column id (ref lower_bound2 over split)."""
+    return np.searchsorted(split, cols, side="right") - 1
+
+
+def build_halo_plan(
+    row_cols_per_dev: list[np.ndarray],
+    col_split: np.ndarray,
+    mode: str = "exchange",
+    axis: str = "d",
+    compress: str = "",
+):
+    """Build (plan, remap) for a row-sharded matrix whose column ids live in
+    the space partitioned by ``col_split``.
+
+    row_cols_per_dev[d]: global column ids appearing in device d's rows.
+    Returns the HaloPlan plus ``remap``: a dict-like vectorized mapper from
+    global column id -> extended-local index, per device.
+    """
+    D = len(col_split) - 1
+    n_loc = [int(col_split[e + 1] - col_split[e]) for e in range(D)]
+    n_loc_pad = pad_to(max(n_loc) if n_loc else 1)
+
+    if mode == "direct":
+        # x is already fully addressable on every device (replicated input):
+        # column ids map straight into its plain padded indexing
+        def remap(d, g):
+            return np.asarray(g, dtype=np.int32)
+
+        plan = HaloPlan(
+            send_idx=jnp.zeros((max(D, 1), max(D, 1), 1), dtype=jnp.int32),
+            n_local=n_loc_pad, max_send=0, mode="direct", axis=axis,
+        )
+        return plan, remap
+
+    if mode == "allgather":
+        # extended vector = blocked-padded global vector
+        def remap(d, g):
+            own = owner_of(g, col_split)
+            return (own * n_loc_pad + (g - col_split[own])).astype(np.int32)
+
+        plan = HaloPlan(
+            send_idx=jnp.zeros((D, D, 1), dtype=jnp.int32),
+            n_local=n_loc_pad, max_send=0, mode="allgather", axis=axis,
+            compress=compress,
+        )
+        return plan, remap
+
+    # needed[d][e]: sorted unique global ids device d needs from e (e != d)
+    needed = [[None] * D for _ in range(D)]
+    for d in range(D):
+        g = np.unique(np.asarray(row_cols_per_dev[d], dtype=np.int64))
+        own = owner_of(g, col_split)
+        for e in range(D):
+            if e == d:
+                continue
+            needed[d][e] = g[own == e]
+    max_send = 1
+    for d in range(D):
+        for e in range(D):
+            if e != d and needed[d][e] is not None:
+                max_send = max(max_send, len(needed[d][e]))
+
+    # send_idx[e, d] = local slots e packs for d  (= what d needs from e)
+    send_idx = np.zeros((D, D, max_send), dtype=np.int32)
+    for e in range(D):
+        for d in range(D):
+            if e == d:
+                continue
+            need = needed[d][e]
+            if need is not None and len(need):
+                send_idx[e, d, : len(need)] = (need - col_split[e]).astype(np.int32)
+
+    # extended layout per device d: [own n_loc_pad | e0's max_send | e1's ... ]
+    lookup = []
+    for d in range(D):
+        m = {}
+        for e in range(D):
+            if e == d:
+                continue
+            base = n_loc_pad + e * max_send
+            need = needed[d][e]
+            if need is not None:
+                for k, g in enumerate(need):
+                    m[int(g)] = base + k
+        lookup.append(m)
+
+    def remap(d, g):
+        g = np.asarray(g, dtype=np.int64)
+        own = owner_of(g, col_split)
+        out = np.empty(g.shape, dtype=np.int32)
+        local = own == d
+        out[local] = (g[local] - col_split[d]).astype(np.int32)
+        lut = lookup[d]
+        rem_idx = np.flatnonzero(~local)
+        for i in rem_idx:
+            out[i] = lut[int(g[i])]
+        return out
+
+    plan = HaloPlan(
+        send_idx=jnp.asarray(send_idx),
+        n_local=n_loc_pad,
+        max_send=max_send,
+        mode=mode,
+        axis=axis,
+        compress=compress,
+    )
+    return plan, remap

@@ -1,0 +1,39 @@
+"""1-D row partitioning (host, setup-time).
+
+The reference's nnz-balanced repartition builds an nprocs^2-bucket histogram
+of nnz and picks row splitters so each rank holds ~nnz_g/nprocs nonzeros
+(saena_matrix_repart.cpp:3-326), switching to equal-row splitting when the
+matrix is dense enough (repart_row, :1220). Here the split is computed
+directly from the row-nnz prefix sum — the matrix is host-resident at setup,
+so no histogram approximation is needed.
+"""
+from __future__ import annotations
+
+import numpy as np
+import scipy.sparse as sp
+
+
+def equal_row_split(n: int, d: int) -> np.ndarray:
+    """split[i] = first row of device i; len d+1 (ref repartition_row)."""
+    base = n // d
+    rem = n % d
+    counts = np.full(d, base, dtype=np.int64)
+    counts[:rem] += 1
+    return np.concatenate([[0], np.cumsum(counts)])
+
+
+def nnz_balanced_split(A: sp.csr_matrix, d: int, repart_thre: float = 0.1) -> np.ndarray:
+    """Row split with ~equal nnz per device. Falls back to equal rows when
+    density >= repart_thre (the reference's repart_row switch,
+    saena_object_setup2.cpp:292-298) or when the matrix is tiny."""
+    n = A.shape[0]
+    density = A.nnz / max(1, n * n)
+    if density >= repart_thre or n < 4 * d:
+        return equal_row_split(n, d)
+    csum = np.concatenate([[0], np.cumsum(np.diff(A.tocsr().indptr))])
+    targets = (np.arange(1, d) * (A.nnz / d))
+    inner = np.searchsorted(csum, targets)
+    split = np.concatenate([[0], inner, [n]]).astype(np.int64)
+    # enforce monotonicity (degenerate empty blocks allowed, like the
+    # reference's active_minor ranks)
+    return np.maximum.accumulate(split)

@@ -1,0 +1,512 @@
+"""Row-sharded matrices and the distributed AMG solve path.
+
+TPU-native re-design of the reference's distributed layer:
+
+- 1-D row partition (saena_matrix.h split[]) -> nnz-balanced ``split`` plus a
+  blocked-padded vector layout over a ``jax.sharding.Mesh`` axis.
+- Halo-exchange SpMV with comm/compute overlap (saena_matrix_matvec.cpp:9-113)
+  -> ``ShardedEll``: static gather-pack + one ``all_to_all`` + fused local
+  gather-SpMV (see halo.py); XLA's async collectives provide the overlap.
+- Processor shrinking at coarse levels (saena_matrix_shrink.cpp) ->
+  ``replicate_threshold``: levels below it are REPLICATED across the mesh and
+  reuse the serial Level kernels verbatim inside shard_map; the coarsest
+  dense LU runs redundantly per device (the analog of shrinking to one rank
+  + broadcast, shrink_cpu_c :67).
+- repart_u / repart_back_u old->new coarse partition exchange (grid.cpp:3-163)
+  -> the sharded->replicated transition: restriction is COLUMN-sharded so the
+  coarse residual is one psum; prolongation is row-sharded against the
+  replicated correction so it needs no collective at all.
+- Distributed dots (aux_functions.h dotProduct) -> local vdot + psum.
+
+Everything below runs inside ONE shard_map/jit region per solve: the entire
+pCG + V-cycle loop compiles to a single XLA program with static shapes.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from saena_tpu.config import Options
+from saena_tpu.ops.formats import pad_to
+from saena_tpu.parallel.halo import HaloPlan, build_halo_plan
+from saena_tpu.parallel.partition import nnz_balanced_split
+from saena_tpu.amg.hierarchy import (
+    Hierarchy,
+    SolveParams,
+    devicify,
+    default_dtype,
+)
+from saena_tpu.amg.cycles import vcycle as serial_vcycle
+from saena_tpu.amg.smoothers import jacobi, chebyshev
+
+
+def _register(cls):
+    data = [f.name for f in dataclasses.fields(cls) if not f.metadata.get("static")]
+    meta = [f.name for f in dataclasses.fields(cls) if f.metadata.get("static")]
+    jax.tree_util.register_dataclass(cls, data_fields=data, meta_fields=meta)
+    return cls
+
+
+def _static(**kw):
+    return dataclasses.field(metadata={"static": True}, **kw)
+
+
+# ---------------------------------------------------------------------------
+# sharded formats
+# ---------------------------------------------------------------------------
+
+
+@_register
+@dataclasses.dataclass(frozen=True)
+class ShardedEll:
+    """Row-sharded slot-major ELL. Leading axis is the mesh axis; inside
+    shard_map each device sees (1, width, n_rows_pad). Column ids are
+    pre-remapped into the extended-local space built by ``plan.extend``."""
+
+    cols: jax.Array              # (D, width, n_rows_pad) int32
+    vals: jax.Array              # (D, width, n_rows_pad)
+    plan: HaloPlan
+    shape: tuple = _static()     # logical global (n_rows, n_cols)
+    nnz: int = _static()
+    reduce_rows: bool = _static(default=False)  # True: rows replicated, psum output
+
+    @property
+    def dtype(self):
+        return self.vals.dtype
+
+    def matvec(self, x_loc: jax.Array, exact: bool = False) -> jax.Array:
+        """x_loc: local block of the column space (or the full replicated /
+        extended vector, per plan.mode). Returns the local row block — or the
+        replicated product when reduce_rows (column-sharded restriction)."""
+        x_ext = self.plan.extend(x_loc.astype(self.dtype), exact=exact)
+        g = jnp.take(x_ext, self.cols[0], axis=0)       # (width, n_rows_pad)
+        y = jnp.sum(self.vals[0] * g, axis=0)
+        if self.reduce_rows:
+            y = jax.lax.psum(y, self.plan.axis)
+        return y
+
+
+@_register
+@dataclasses.dataclass(frozen=True)
+class ShardedLevel:
+    """One sharded grid level (analog of Grid over an active communicator)."""
+
+    A: ShardedEll
+    inv_diag: jax.Array           # (D, n_rows_pad)
+    R_next: Optional[ShardedEll]  # to level lvl+1 (None on the last sharded level)
+    P_next: Optional[ShardedEll]
+    n: int = _static()
+    lvl: int = _static()
+    eig_max: Optional[float] = _static(default=None)
+
+    @property
+    def dtype(self):
+        return self.A.dtype
+
+    def matvec(self, x, exact: bool = False):  # quacks like a serial Level.A
+        return self.A.matvec(x, exact=exact)
+
+
+@_register
+@dataclasses.dataclass(frozen=True)
+class _LevelView:
+    """Per-device view of a ShardedLevel with the smoother interface."""
+
+    A: ShardedEll
+    inv_diag: jax.Array
+    eig_max: Optional[float] = _static(default=None)
+
+
+@_register
+@dataclasses.dataclass(frozen=True)
+class ShardedHierarchy:
+    sharded: tuple                    # tuple[ShardedLevel, ...] (>= 1)
+    trans_R: Optional[ShardedEll]     # column-sharded: last sharded -> first replicated
+    trans_P: Optional[ShardedEll]     # row-sharded, direct vs replicated correction
+    replicated: Optional[Hierarchy]   # serial tail (replicated on every device)
+
+    @property
+    def n(self) -> int:
+        return self.sharded[0].n
+
+    @property
+    def dtype(self):
+        return self.sharded[0].dtype
+
+    @property
+    def axis(self) -> str:
+        return self.sharded[0].A.plan.axis
+
+
+# ---------------------------------------------------------------------------
+# distributed vcycle + pCG (run INSIDE shard_map)
+# ---------------------------------------------------------------------------
+
+
+def _psmooth(level, params: SolveParams, u, rhs, iters: int):
+    if iters <= 0:
+        return u
+    inv_d = level.inv_diag[0]
+    if params.smoother == "jacobi":
+        return jacobi(level.A, inv_d, u, rhs, iters, params.jacobi_omega)
+    return chebyshev(level.A, inv_d, level.eig_max, u, rhs, iters)
+
+
+def sharded_vcycle(sh: ShardedHierarchy, params: SolveParams, u, rhs, lvl: int = 0):
+    levels = sh.sharded
+    level = levels[lvl]
+    last_sharded = lvl == len(levels) - 1
+
+    u = _psmooth(level, params, u, rhs, params.preSmooth)
+    res = level.A.matvec(u) - rhs
+
+    if not last_sharded:
+        res_c = level.R_next.matvec(res)
+        e_c = sharded_vcycle(sh, params, jnp.zeros_like(res_c), res_c, lvl + 1)
+        u = u - level.P_next.matvec(e_c).astype(u.dtype)
+    else:
+        # transition to the replicated tail: psum-reduced restriction,
+        # serial vcycle on replicated data, collective-free prolongation.
+        res_c = sh.trans_R.matvec(res)                      # replicated (n_c_pad,)
+        e_c = serial_vcycle(sh.replicated, params,
+                            jnp.zeros_like(res_c), res_c)
+        u = u - sh.trans_P.matvec(e_c).astype(u.dtype)
+
+    u = _psmooth(level, params, u, rhs, params.postSmooth)
+    return u
+
+
+def _pcg_body(sh: ShardedHierarchy, params: SolveParams, rhs, tol, max_iter: int):
+    axis = sh.axis
+
+    def pdot(a, b):
+        return jax.lax.psum(jnp.vdot(a, b), axis)
+
+    A = sh.sharded[0]
+    u = jnp.zeros_like(rhs)
+    r = A.matvec(u) - rhs
+    init_dot = pdot(r, r)
+    thr = init_dot * tol * tol
+    hist = jnp.full(max_iter + 1, jnp.nan, dtype=rhs.dtype)
+    hist = hist.at[0].set(jnp.sqrt(init_dot))
+
+    rho = sharded_vcycle(sh, params, jnp.zeros_like(r), r)
+    p = rho
+
+    def cond(c):
+        i, u, r, rho, p, rr, hist = c
+        return (i < max_iter) & (rr >= thr)
+
+    def body(c):
+        i, u, r, rho, p, rr, hist = c
+        h = A.matvec(p, exact=True)   # outer CG sees the exact operator
+        rho_res = pdot(r, rho)
+        pdoth = pdot(p, h)
+        alpha = rho_res / pdoth
+        u = u - alpha * p
+        r = r - alpha * h
+        rr_new = pdot(r, r)
+        hist = hist.at[i + 1].set(jnp.sqrt(rr_new))
+
+        def cont(_):
+            rho2 = sharded_vcycle(sh, params, jnp.zeros_like(r), r)
+            beta = pdot(r, rho2) / rho_res
+            return rho2, rho2 + beta * p
+
+        rho, p = jax.lax.cond(rr_new >= thr, cont, lambda _: (rho, p), None)
+        return i + 1, u, r, rho, p, rr_new, hist
+
+    i, u, r, rho, p, rr, hist = jax.lax.while_loop(
+        cond, body, (0, u, r, rho, p, init_dot, hist))
+    return u, i, jnp.sqrt(init_dot), jnp.sqrt(rr), hist
+
+
+# ---------------------------------------------------------------------------
+# setup: build a ShardedHierarchy from the host CSR hierarchy
+# ---------------------------------------------------------------------------
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "d") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (axis,))
+
+
+def _shard_csr_rows(A: sp.csr_matrix, split: np.ndarray, n_rows_pad: int):
+    """Per-device row blocks: (cols_slotmajor, vals_slotmajor, rowcols) with
+    a COMMON width across devices (static shapes)."""
+    D = len(split) - 1
+    A = A.tocsr()
+    width = 1
+    blocks = []
+    for d in range(D):
+        B = A[split[d]: split[d + 1]]
+        blocks.append(B)
+        if B.shape[0]:
+            width = max(width, int(np.diff(B.indptr).max()))
+    cols = np.zeros((D, width, n_rows_pad), dtype=np.int64)
+    vals = np.zeros((D, width, n_rows_pad), dtype=np.float64)
+    rowcols = []
+    for d, B in enumerate(blocks):
+        nb = B.shape[0]
+        cnt = np.diff(B.indptr)
+        rows_idx = np.repeat(np.arange(nb), cnt)
+        slot = _ranges(cnt)
+        cols[d, slot, rows_idx] = B.indices
+        vals[d, slot, rows_idx] = B.data
+        rowcols.append(np.unique(B.indices))
+    return cols, vals, rowcols, width
+
+
+def _ranges(counts: np.ndarray) -> np.ndarray:
+    counts = counts.astype(np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    ids = np.arange(total)
+    starts = np.repeat(np.cumsum(counts) - counts, counts)
+    return ids - starts
+
+
+def _remap_cols(cols: np.ndarray, vals: np.ndarray, remap) -> np.ndarray:
+    """Apply the per-device global->extended-local remap, sending padding
+    slots (val == 0) to index 0."""
+    D = cols.shape[0]
+    out = np.zeros(cols.shape, dtype=np.int32)
+    for d in range(D):
+        nz = vals[d] != 0
+        flat = cols[d][nz]
+        if flat.size:
+            out[d][nz] = remap(d, flat)
+    return out
+
+
+def _build_sharded_ell(
+    A: sp.csr_matrix,
+    row_split: np.ndarray,
+    col_split: np.ndarray,
+    dtype,
+    mode: str,
+    axis: str,
+    compress: str = "",
+    reduce_rows: bool = False,
+) -> ShardedEll:
+    D = len(row_split) - 1
+    n_rows_pad = pad_to(int(np.max(np.diff(row_split))) if D else 1)
+    cols, vals, rowcols, width = _shard_csr_rows(A, row_split, n_rows_pad)
+    plan, remap = build_halo_plan(rowcols, col_split, mode=mode, axis=axis,
+                                  compress=compress)
+    if plan.send_idx.shape[0] != D:
+        # keep the sharded leading axis consistent with the mesh size
+        plan = dataclasses.replace(
+            plan, send_idx=jnp.zeros((D, D, 1), dtype=jnp.int32))
+    lcols = _remap_cols(cols, vals, remap)
+    return ShardedEll(
+        cols=jnp.asarray(lcols),
+        vals=jnp.asarray(vals, dtype=dtype),
+        plan=plan,
+        shape=A.shape,
+        nnz=int(A.nnz),
+        reduce_rows=reduce_rows,
+    )
+
+
+def _col_sharded_restriction(
+    R: sp.csr_matrix, fine_split: np.ndarray, dtype, axis: str,
+) -> ShardedEll:
+    """R split by fine COLUMNS: device d holds R[:, fine block d] over ALL
+    coarse rows; the products psum to the replicated coarse vector."""
+    D = len(fine_split) - 1
+    n_c = R.shape[0]
+    n_c_pad = pad_to(n_c)
+    Rcsc = R.tocsc()
+    width = 1
+    pieces = []
+    for d in range(D):
+        piece = Rcsc[:, fine_split[d]: fine_split[d + 1]].tocsr()
+        pieces.append(piece)
+        if piece.nnz:
+            width = max(width, int(np.diff(piece.indptr).max()))
+    cols = np.zeros((D, width, n_c_pad), dtype=np.int32)
+    vals = np.zeros((D, width, n_c_pad), dtype=np.float64)
+    for d, piece in enumerate(pieces):
+        cnt = np.diff(piece.indptr)
+        rows_idx = np.repeat(np.arange(n_c), cnt)
+        slot = _ranges(cnt)
+        cols[d, slot, rows_idx] = piece.indices   # already local fine indices
+        vals[d, slot, rows_idx] = piece.data
+    plan = HaloPlan(
+        send_idx=jnp.zeros((D, D, 1), dtype=jnp.int32),
+        n_local=pad_to(int(np.max(np.diff(fine_split)))),
+        max_send=0, mode="direct", axis=axis,
+    )
+    return ShardedEll(
+        cols=jnp.asarray(cols), vals=jnp.asarray(vals, dtype=dtype),
+        plan=plan, shape=R.shape, nnz=int(R.nnz), reduce_rows=True,
+    )
+
+
+def shard_hierarchy(
+    info,                      # SetupInfo from amg.hierarchy.setup (host CSRs)
+    opts: Options,
+    mesh: Mesh,
+    dtype=None,
+    eigs: Optional[list] = None,
+) -> ShardedHierarchy:
+    """Partition the fine levels of a host hierarchy across the mesh; levels
+    with global size < opts.replicate_threshold form the replicated tail."""
+    axis = mesh.axis_names[0]
+    D = mesh.devices.size
+    dtype = dtype or default_dtype()
+    low_dtype = jnp.dtype(opts.low_dtype)
+    csr_levels, Ps, Rs = info.csr_levels, info.Ps, info.Rs
+    n_lv = len(csr_levels)
+
+    # how many leading levels stay sharded
+    n_sharded = 0
+    for l, A in enumerate(csr_levels):
+        if A.shape[0] >= opts.replicate_threshold and l < n_lv - 1:
+            n_sharded += 1
+        else:
+            break
+    n_sharded = max(1, n_sharded)  # always shard the finest level
+
+    compress = opts.halo_dtype if opts.compress_halo else ""
+    mode = opts.halo_mode
+
+    splits = [nnz_balanced_split(csr_levels[l], D) for l in range(n_sharded)]
+
+    from saena_tpu.amg.eig import eig_max_invdiag_host
+
+    sharded_levels = []
+    for l in range(n_sharded):
+        A = csr_levels[l]
+        dt = low_dtype if l >= opts.float_level else dtype
+        Ash = _build_sharded_ell(A, splits[l], splits[l], dt, mode, axis,
+                                 compress=compress)
+        n_rows_pad = pad_to(int(np.max(np.diff(splits[l]))))
+        inv_d = np.zeros((D, n_rows_pad))
+        diag = A.diagonal()
+        for d in range(D):
+            blk = diag[splits[l][d]: splits[l][d + 1]]
+            safe = np.where(blk == 0, 1.0, blk)
+            inv_d[d, : blk.size] = np.where(blk != 0, 1.0 / safe, 0.0)
+
+        eig = None
+        if opts.smoother == "chebyshev":
+            eig = (eigs[l] if eigs and l < len(eigs) and eigs[l] is not None
+                   else float(eig_max_invdiag_host(A)))
+
+        R_next = P_next = None
+        if l + 1 < n_sharded:
+            dt_next = low_dtype if (l + 1) >= opts.float_level else dtype
+            # R: rows on coarse split, columns in fine split space
+            R_next = _build_sharded_ell(Rs[l], splits[l + 1], splits[l],
+                                        dt_next, mode, axis, compress=compress)
+            # P: rows on fine split, columns in coarse split space
+            P_next = _build_sharded_ell(Ps[l], splits[l], splits[l + 1],
+                                        dt_next, mode, axis, compress=compress)
+
+        sharded_levels.append(
+            ShardedLevel(A=Ash, inv_diag=jnp.asarray(inv_d, dtype=dt),
+                         R_next=R_next, P_next=P_next,
+                         n=A.shape[0], lvl=l, eig_max=eig)
+        )
+
+    # transition + replicated tail
+    trans_R = trans_P = None
+    replicated = None
+    if n_sharded < n_lv:
+        lt = n_sharded - 1  # transition uses P/R of the last sharded level
+        dt_next = low_dtype if (lt + 1) >= opts.float_level else dtype
+        trans_R = _col_sharded_restriction(Rs[lt], splits[lt], dt_next, axis)
+        # P rows on fine split, correction replicated -> direct cols into the
+        # coarse PLAIN padded indexing
+        n_c = Ps[lt].shape[1]
+        trans_P = _build_sharded_ell(
+            Ps[lt], splits[lt], np.asarray([0, n_c]), dt_next, "direct", axis)
+
+        tail_opts = dataclasses.replace(
+            opts, float_level=max(0, opts.float_level - n_sharded))
+        replicated, _ = devicify(
+            csr_levels[n_sharded:], Ps[n_sharded:], Rs[n_sharded:],
+            tail_opts, dtype=(low_dtype if n_sharded >= opts.float_level else dtype),
+        )
+    else:
+        raise NotImplementedError(
+            "fully-sharded hierarchy without a replicated tail: lower "
+            "replicate_threshold so at least the coarsest level replicates")
+
+    return ShardedHierarchy(
+        sharded=tuple(sharded_levels),
+        trans_R=trans_R, trans_P=trans_P, replicated=replicated,
+    ), splits
+
+
+# ---------------------------------------------------------------------------
+# host-facing solve
+# ---------------------------------------------------------------------------
+
+
+def blocked_pad_vector(v: np.ndarray, split: np.ndarray) -> np.ndarray:
+    """Plain (n,) host vector -> blocked-padded (D, n_loc_pad)."""
+    D = len(split) - 1
+    n_loc_pad = pad_to(int(np.max(np.diff(split))))
+    out = np.zeros((D, n_loc_pad), dtype=v.dtype)
+    for d in range(D):
+        blk = v[split[d]: split[d + 1]]
+        out[d, : blk.size] = blk
+    return out
+
+
+def unblock_vector(vb: np.ndarray, split: np.ndarray) -> np.ndarray:
+    D = len(split) - 1
+    parts = [vb[d, : split[d + 1] - split[d]] for d in range(D)]
+    return np.concatenate(parts)
+
+
+@partial(jax.jit, static_argnames=("params", "max_iter", "mesh"))
+def _sharded_pcg_jit(sh: ShardedHierarchy, params, rhs_blocked, tol,
+                     max_iter: int, mesh: Mesh):
+    axis = sh.axis
+
+    def body(sh_loc, rhs_loc):
+        u, i, r0, rfin, hist = _pcg_body(
+            sh_loc, params, rhs_loc[0], tol, max_iter)
+        return u[None], i, r0, rfin, hist
+
+    spec_sh = jax.tree.map(lambda _: P(axis), sh)
+    # replicated tail + transition output cols are replicated arrays
+    sh_specs = dataclasses.replace(
+        spec_sh,
+        replicated=jax.tree.map(lambda _: P(), sh.replicated),
+    )
+    out = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(sh_specs, P(axis)),
+        out_specs=(P(axis), P(), P(), P(), P()),
+        check_vma=False,
+    )(sh, rhs_blocked)
+    return out
+
+
+def sharded_solve_pCG(sh: ShardedHierarchy, splits, rhs: np.ndarray,
+                      mesh: Mesh, params: Optional[SolveParams] = None,
+                      tol: float = 1e-8, max_iter: int = 100):
+    """Host entry: plain rhs in, plain solution out."""
+    params = params or SolveParams()
+    dtype = sh.dtype
+    rhs_b = jnp.asarray(blocked_pad_vector(np.asarray(rhs), splits[0]),
+                        dtype=dtype)
+    u_b, iters, r0, rfin, hist = _sharded_pcg_jit(
+        sh, params, rhs_b, jnp.asarray(tol, dtype), max_iter, mesh)
+    u = unblock_vector(np.asarray(u_b), splits[0])
+    return u, int(iters), float(r0), float(rfin), np.asarray(hist)

@@ -1,0 +1,131 @@
+"""Distributed (8 virtual CPU devices) path: partition, halo, sharded SpMV,
+sharded pCG bitwise-comparable to serial (SURVEY.md §7 step 3 gate)."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from saena_tpu.config import Options
+from saena_tpu.amg import hierarchy as H
+from saena_tpu.amg import solvers as S
+from saena_tpu.core.coo import remove_boundary_nodes
+from saena_tpu.generators import laplacian3D, laplacian3D_set_rhs, random_symm_matrix
+from saena_tpu.parallel.partition import equal_row_split, nnz_balanced_split
+from saena_tpu.parallel.sharded import (
+    _build_sharded_ell,
+    blocked_pad_vector,
+    make_mesh,
+    shard_hierarchy,
+    sharded_solve_pCG,
+    unblock_vector,
+)
+
+D = 8
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= D, "conftest must provide 8 virtual devices"
+    return make_mesh(D)
+
+
+def test_partition_balance():
+    A = laplacian3D(12, 12, 12)
+    split = nnz_balanced_split(A, D)
+    assert split[0] == 0 and split[-1] == A.shape[0]
+    nnz_per = [A[split[d]: split[d + 1]].nnz for d in range(D)]
+    assert max(nnz_per) / (A.nnz / D) < 1.5
+
+
+def test_equal_row_split():
+    s = equal_row_split(10, 4)
+    np.testing.assert_array_equal(np.diff(s), [3, 3, 2, 2])
+
+
+@pytest.mark.parametrize("mode", ["exchange", "allgather"])
+def test_sharded_spmv_matches_scipy(mesh, mode):
+    A = random_symm_matrix(700, 0.01, seed=11)
+    split = nnz_balanced_split(A, D)
+    sh = _build_sharded_ell(A, split, split, jnp.float64, mode, "d")
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(A.shape[0])
+    xb = jnp.asarray(blocked_pad_vector(x, split))
+
+    def body(m, xloc):
+        return m.matvec(xloc[0])[None]
+
+    y = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(jax.tree.map(lambda _: P("d"), sh), P("d")),
+        out_specs=P("d"), check_vma=False,
+    )(sh, xb)
+    got = unblock_vector(np.asarray(y), split)
+    np.testing.assert_allclose(got, A @ x, rtol=1e-12, atol=1e-12)
+
+
+def _poisson_interior(m):
+    A0 = laplacian3D(m, m, m)
+    rhs0 = laplacian3D_set_rhs(m, m, m)
+    A, interior, bound, bdiag, rhs = remove_boundary_nodes(A0, rhs0)
+    return A, rhs
+
+
+def test_sharded_pcg_matches_serial(mesh):
+    A, rhs = _poisson_interior(20)
+    opts = Options(replicate_threshold=500)
+    hier, info = H.setup(A, opts)
+    params = H.SolveParams.from_options(opts)
+    rp = np.pad(rhs, (0, hier.n_pad - A.shape[0]))
+    serial = S.solve_pCG(hier, rp, params=params, tol=1e-8, max_iter=100)
+
+    sh, splits = shard_hierarchy(info, opts, mesh)
+    assert len(sh.sharded) >= 2  # exercise sharded-to-sharded transfers
+    u, iters, r0, rfin, hist = sharded_solve_pCG(
+        sh, splits, rhs, mesh, params=params, tol=1e-8, max_iter=100)
+
+    assert iters == int(serial.iters)
+    u_serial = np.asarray(serial.u)[: A.shape[0]]
+    assert np.abs(u - u_serial).max() < 1e-10
+    assert np.linalg.norm(rhs - A @ u) / np.linalg.norm(rhs) < 1e-7
+
+
+def test_sharded_pcg_compressed_halo(mesh):
+    A, rhs = _poisson_interior(20)
+    opts = Options(replicate_threshold=500, compress_halo=True)
+    hier, info = H.setup(A, opts)
+    params = H.SolveParams.from_options(opts)
+    sh, splits = shard_hierarchy(info, opts, mesh)
+    u, iters, r0, rfin, hist = sharded_solve_pCG(
+        sh, splits, rhs, mesh, params=params, tol=1e-8, max_iter=100)
+    # lossy halo only touches the preconditioner: true residual still converges
+    assert np.linalg.norm(rhs - A @ u) / np.linalg.norm(rhs) < 1e-7
+
+
+def test_sharded_jacobi(mesh):
+    A, rhs = _poisson_interior(16)
+    opts = Options(replicate_threshold=500, smoother="jacobi",
+                   preSmooth=2, postSmooth=2)
+    hier, info = H.setup(A, opts)
+    params = H.SolveParams.from_options(opts)
+    sh, splits = shard_hierarchy(info, opts, mesh)
+    u, iters, r0, rfin, hist = sharded_solve_pCG(
+        sh, splits, rhs, mesh, params=params, tol=1e-8, max_iter=150)
+    assert np.linalg.norm(rhs - A @ u) / np.linalg.norm(rhs) < 1e-7
+
+
+def test_sharded_irregular_matrix(mesh):
+    """nnz-balanced split on an irregular SuiteSparse-like matrix."""
+    A = random_symm_matrix(900, 0.01, seed=13)
+    A = A + 20.0 * __import__("scipy.sparse", fromlist=["identity"]).identity(900)
+    A = A.tocsr()
+    rhs = A @ np.ones(900)
+    opts = Options(replicate_threshold=400)
+    hier, info = H.setup(A, opts)
+    params = H.SolveParams.from_options(opts)
+    sh, splits = shard_hierarchy(info, opts, mesh)
+    u, iters, r0, rfin, hist = sharded_solve_pCG(
+        sh, splits, rhs, mesh, params=params, tol=1e-8, max_iter=300)
+    assert np.linalg.norm(rhs - A @ u) / np.linalg.norm(rhs) < 1e-6
