@@ -15,11 +15,38 @@ import scipy.io
 import scipy.sparse as sp
 
 _BIN_DTYPE = np.dtype([("row", "<i4"), ("col", "<i4"), ("val", "<f8")])
+_BIN_DTYPE64 = np.dtype([("row", "<i8"), ("col", "<i8"), ("val", "<f8")])
+
+
+def _layout_score(raw) -> float:
+    """Plausibility of a decoded triple array: sane indices + normal values."""
+    if raw.size == 0:
+        return -1.0
+    r, c, v = raw["row"], raw["col"], raw["val"]
+    idx_ok = np.mean((r >= 0) & (c >= 0) & (r < 10**8) & (c < 10**8))
+    av = np.abs(v)
+    val_ok = np.mean(np.isfinite(v) & ((av == 0) | ((av > 1e-250) & (av < 1e250))))
+    return float(idx_ok + val_ok)
+
+
+def _read_bin_raw(path: str):
+    """Saena .bin files appear with 16-byte (int32 idx — FloridaCollection)
+    and 24-byte (int64 idx — Helmholtz2D) triples; auto-detect by decoding
+    both ways and scoring plausibility."""
+    sz = os.path.getsize(path)
+    cands = []
+    if sz % _BIN_DTYPE.itemsize == 0:
+        cands.append(np.fromfile(path, dtype=_BIN_DTYPE))
+    if sz % _BIN_DTYPE64.itemsize == 0:
+        cands.append(np.fromfile(path, dtype=_BIN_DTYPE64))
+    if not cands:
+        raise ValueError(f"{path}: size {sz} matches no known triple layout")
+    return max(cands, key=_layout_score)
 
 
 def read_bin(path: str, shape=None) -> sp.csr_matrix:
     """Read Saena .bin COO triples (0-based, both triangles present)."""
-    raw = np.fromfile(path, dtype=_BIN_DTYPE)
+    raw = _read_bin_raw(path)
     rows = raw["row"].astype(np.int64)
     cols = raw["col"].astype(np.int64)
     if shape is None:
@@ -41,7 +68,17 @@ def write_bin(path: str, A: sp.spmatrix) -> None:
 
 
 def read_mtx(path: str) -> sp.csr_matrix:
-    a = scipy.io.mmread(path).tocsr()
+    try:
+        a = scipy.io.mmread(path).tocsr()
+    except ValueError:
+        # the reference's Helmholtz2D .mtx files carry no MatrixMarket
+        # banner: plain "n m nnz" header then 1-based triples
+        dat = np.loadtxt(path)
+        n, m = int(dat[0, 0]), int(dat[0, 1])
+        a = sp.csr_matrix(
+            (dat[1:, 2], (dat[1:, 0].astype(np.int64) - 1,
+                          dat[1:, 1].astype(np.int64) - 1)),
+            shape=(n, m))
     a.sum_duplicates()
     return a
 
