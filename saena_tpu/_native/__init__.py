@@ -1,0 +1,193 @@
+"""Native (C++) components, built lazily with g++ and loaded via ctypes.
+
+The reference links MKL/SuperLU/zfp/usort for its native needs; the TPU
+rebuild keeps the compute path in XLA/Pallas but implements host-side
+runtime pieces natively where the reference did: the Golomb-Rice index-
+stream codec (GR_encoder parity) lives here. A pure-numpy fallback covers
+environments without a toolchain.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import tempfile
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_LIB = None
+_TRIED = False
+
+
+def _build_and_load():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    src = os.path.join(_HERE, "gr_codec.cpp")
+    so = os.path.join(_HERE, "libsaena_native.so")
+    try:
+        if (not os.path.exists(so)
+                or os.path.getmtime(so) < os.path.getmtime(src)):
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                 "-std=c++17", src, "-o", so + ".tmp"],
+                check=True, capture_output=True)
+            os.replace(so + ".tmp", so)
+        lib = ctypes.CDLL(so)
+        lib.gr_compress.restype = ctypes.c_int64
+        lib.gr_compress.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_int64]
+        lib.gr_decompress.restype = ctypes.c_int64
+        lib.gr_decompress.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_int64]
+        lib.gr_pick_k.restype = ctypes.c_int
+        lib.gr_pick_k.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+        lib.delta_encode.restype = None
+        lib.delta_encode.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                     ctypes.c_void_p, ctypes.c_int64,
+                                     ctypes.c_void_p]
+        lib.delta_decode.restype = None
+        lib.delta_decode.argtypes = lib.delta_encode.argtypes
+        _LIB = lib
+    except Exception:
+        _LIB = None
+    return _LIB
+
+
+def have_native() -> bool:
+    return _build_and_load() is not None
+
+
+QMAX = 48
+
+
+def gr_pick_k(values: np.ndarray) -> int:
+    """Best k among {0, 7, 15} (ref CSCMat::compress_prep picks per-rank k)."""
+    values = np.ascontiguousarray(values, dtype=np.uint32)
+    lib = _build_and_load()
+    if lib is not None:
+        return int(lib.gr_pick_k(values.ctypes.data, values.size))
+    best_k, best_bits = 7, np.inf
+    for k in (0, 7, 15):
+        q = values >> k
+        bits = np.where(q < QMAX, q + 1 + k, QMAX + 32).sum()
+        if bits < best_bits:
+            best_bits, best_k = bits, k
+    return best_k
+
+
+def gr_compress(values: np.ndarray, k: int | None = None) -> tuple[bytes, int]:
+    """Golomb-Rice compress a uint32 stream; returns (payload, k)."""
+    values = np.ascontiguousarray(values, dtype=np.uint32)
+    if k is None:
+        k = gr_pick_k(values)
+    lib = _build_and_load()
+    if lib is not None:
+        cap = int(values.size * 12 + 64)
+        out = np.zeros(cap, dtype=np.uint8)
+        n = lib.gr_compress(values.ctypes.data, values.size, k,
+                            out.ctypes.data, cap)
+        if n < 0:
+            raise RuntimeError(f"gr_compress failed ({n})")
+        return bytes(out[:n].tobytes()), k
+    return _py_gr_compress(values, k), k
+
+
+def gr_decompress(payload: bytes, n_vals: int, k: int) -> np.ndarray:
+    lib = _build_and_load()
+    buf = np.frombuffer(payload, dtype=np.uint8)
+    out = np.zeros(n_vals, dtype=np.uint32)
+    if lib is not None:
+        r = lib.gr_decompress(buf.ctypes.data, buf.size, k,
+                              out.ctypes.data, n_vals)
+        if r < 0:
+            raise RuntimeError("gr_decompress: malformed stream")
+        return out
+    return _py_gr_decompress(buf, n_vals, k)
+
+
+def delta_encode(values: np.ndarray, seg_starts: np.ndarray) -> np.ndarray:
+    values = np.ascontiguousarray(values, dtype=np.uint32)
+    seg = np.ascontiguousarray(seg_starts, dtype=np.int64)
+    lib = _build_and_load()
+    out = np.zeros_like(values)
+    if lib is not None and values.size:
+        lib.delta_encode(values.ctypes.data, values.size,
+                         seg.ctypes.data, seg.size, out.ctypes.data)
+        return out
+    prev = np.concatenate([[0], values[:-1]]) if values.size else values
+    out = values - prev
+    out[seg[seg < values.size]] = values[seg[seg < values.size]]
+    return out
+
+
+def delta_decode(deltas: np.ndarray, seg_starts: np.ndarray) -> np.ndarray:
+    deltas = np.ascontiguousarray(deltas, dtype=np.uint32)
+    seg = np.ascontiguousarray(seg_starts, dtype=np.int64)
+    lib = _build_and_load()
+    out = np.zeros_like(deltas)
+    if lib is not None and deltas.size:
+        lib.delta_decode(deltas.ctypes.data, deltas.size,
+                         seg.ctypes.data, seg.size, out.ctypes.data)
+        return out
+    out = deltas.copy()
+    starts = seg[seg < deltas.size]
+    grp = np.zeros(deltas.size, dtype=np.int64)
+    grp[starts] = 1
+    grp = np.cumsum(grp)
+    csum = np.cumsum(deltas.astype(np.uint64))
+    base = np.zeros(deltas.size, dtype=np.uint64)
+    if starts.size:
+        base_vals = csum[starts] - deltas[starts]
+        base = base_vals[grp - 1]
+    return (csum - base).astype(np.uint32)
+
+
+# ---- pure-python bitstream fallback (slow; only used without g++) ----
+
+def _py_gr_compress(values: np.ndarray, k: int) -> bytes:
+    bits = []
+    mask = (1 << k) - 1
+    for v in values.tolist():
+        q = v >> k
+        if q < QMAX:
+            bits.extend([1] * q)
+            bits.append(0)
+            for i in range(k):
+                bits.append((v >> i) & 1)
+        else:
+            bits.extend([1] * QMAX)
+            for i in range(32):
+                bits.append((v >> i) & 1)
+    arr = np.asarray(bits + [0] * ((-len(bits)) % 8), dtype=np.uint8)
+    return np.packbits(arr.reshape(-1, 8)[:, ::-1], axis=1).tobytes()
+
+
+def _py_gr_decompress(buf: np.ndarray, n_vals: int, k: int) -> np.ndarray:
+    bits = np.unpackbits(buf)[: buf.size * 8]
+    bits = bits.reshape(-1, 8)[:, ::-1].ravel()
+    out = np.zeros(n_vals, dtype=np.uint32)
+    pos = 0
+    for i in range(n_vals):
+        q = 0
+        while q < QMAX and bits[pos]:
+            q += 1
+            pos += 1
+        if q == QMAX:
+            v = 0
+            for j in range(32):
+                v |= int(bits[pos + j]) << j
+            pos += 32
+        else:
+            pos += 1  # the 0 terminator
+            v = 0
+            for j in range(k):
+                v |= int(bits[pos + j]) << j
+            pos += k
+            v |= q << k
+        out[i] = v
+    return out

@@ -310,7 +310,10 @@ def devicify(
 
         eig = None
         if opts.smoother == "chebyshev" and (not is_coarsest) and n_lv > 1:
-            eig = float(eig_max_invdiag_host(Acsr))
+            if l == 0 and opts.eig > 0:
+                eig = float(opts.eig)    # user-provided (ref set_eig)
+            else:
+                eig = float(eig_max_invdiag_host(Acsr))
 
         P_dev = R_dev = None
         if l < n_lv - 1:

@@ -23,6 +23,9 @@ class Options:
     preSmooth: int = 3                 # public default 3 (internal 2)
     postSmooth: int = 3
     jacobi_omega: float = 2.0 / 3.0    # ref: saena_matrix.h:182
+    eig: float = 0.0                   # user-provided lambda_max(D^-1 A) for the
+                                       # finest level; 0 = estimate (ref set_eig,
+                                       # saena.cpp:124-135)
 
     # ---- coarsening (ref: saena_object.h:41-52, 166-168) ----
     PSmoother: str = "jacobi"          # prolongation smoother: "jacobi" | "SPAI"
@@ -73,13 +76,54 @@ class Options:
     petsc_solver: str = ""             # kept for API parity; unused
 
     # ------------------------------------------------------------------
+    # attribute-name mapping for the reference's XML options files
+    # (data/options001.xml style; ref parser saena.cpp:444-546 reads them
+    # positionally — reading by name here accepts the same files robustly)
+    _XML_ALIASES = {
+        "solver_max_iter": "max_iter",
+        "solver_tol": "tol",
+        "conn_str": "connStrength",
+        "petsc": "petsc_solver",
+    }
+    _XML_BOOLS = ("dynamic_levels", "switch_to_dense", "scale",
+                  "adaptive_coarsening", "remove_boundary", "compress_halo")
+
     @classmethod
     def from_file(cls, path: str) -> "Options":
-        """Load options from a JSON file (replaces the pugixml XML path,
-        saena.cpp:444-546). Unknown keys are rejected."""
+        """Load options from JSON, or from the reference's SAENA XML format
+        (saena.cpp:444-546 / data/options001.xml). Unknown keys rejected."""
+        if path.endswith(".xml"):
+            return cls.from_xml(path)
         with open(path) as f:
             data = json.load(f)
         return cls.from_dict(data)
+
+    @classmethod
+    def from_xml(cls, path: str) -> "Options":
+        import xml.etree.ElementTree as ET
+
+        root = ET.parse(path).getroot()
+        node = root if root.tag == "OPTIONS" else root.find(".//OPTIONS")
+        if node is None:
+            # first child of <SAENA>, like the reference
+            node = list(root)[0] if len(root) else root
+        fields = {f.name: f.type for f in dataclasses.fields(cls)}
+        types = {f.name: type(getattr(cls(), f.name)) for f in dataclasses.fields(cls)}
+        data = {}
+        for key, raw in node.attrib.items():
+            name = cls._XML_ALIASES.get(key, key)
+            if name not in fields:
+                raise ValueError(f"unknown option attribute {key!r} in {path}")
+            t = types[name]
+            if t is bool or name in cls._XML_BOOLS:
+                data[name] = raw.strip() in ("1", "true", "True")
+            elif t is int:
+                data[name] = int(raw)
+            elif t is float:
+                data[name] = float(raw)
+            else:
+                data[name] = raw
+        return cls(**data)
 
     @classmethod
     def from_dict(cls, data: dict) -> "Options":
