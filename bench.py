@@ -2,103 +2,111 @@
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 Headline metric (BASELINE.json): SpMV nnz/s per chip on the 3-D Poisson
-workload, plus V-cycle wall time and pCG iterations to 1e-8 as secondary
-fields. The reference publishes no numbers ("published": {}), so vs_baseline
-is reported against a fixed HBM-roofline model for this chip: ideal SpMV
-streams ~12 bytes/nnz (f32 val + i32 col + amortized x/y traffic), so
-  roofline_nnz_s = HBM_BW / 12.
+workload; V-cycle wall time and pCG iterations/solve-time to 1e-8 ride along
+in "detail". The reference publishes no numbers ("published": {}), so
+vs_baseline is reported against an HBM-roofline model: ideal f32 SpMV
+streams ~12 bytes/nnz, so roofline = HBM_BW / 12 (v5e: 819 GB/s).
+
+Timing method: kernels are chained inside one jitted fori_loop returning a
+SCALAR, and the per-iteration cost is the (t_long - t_short) slope of the
+VALUE-FETCH time. Two platform gotchas drive this design (measured on the
+axon-tunneled v5e): (a) block_until_ready does NOT synchronize — only
+fetching a value does, and each fetch carries ~26 ms of RPC overhead that
+the slope subtracts out; (b) the first execution after compile pays a
+one-time upload, so each (fn, n) variant is warmed before timing. All
+jitted functions take the matrix pytrees as ARGUMENTS (closing over device
+arrays embeds them as constants and multiplies compile time).
 """
 from __future__ import annotations
 
 import json
 import time
+from functools import partial
 
 import numpy as np
 
-
-def _setup_poisson(m, dtype, opts=None):
-    import jax.numpy as jnp
-    from saena_tpu.config import Options
-    from saena_tpu.amg import hierarchy as H
-    from saena_tpu.core.coo import remove_boundary_nodes
-    from saena_tpu.generators import laplacian3D, laplacian3D_set_rhs
-
-    A0 = laplacian3D(m, m, m)
-    rhs0 = laplacian3D_set_rhs(m, m, m)
-    A, _, _, _, rhs = remove_boundary_nodes(A0, rhs0)
-    opts = opts or Options()
-    t0 = time.perf_counter()
-    hier, info = H.setup(A, opts, dtype=dtype)
-    setup_s = time.perf_counter() - t0
-    return A, rhs, hier, info, opts, setup_s
+N_SHORT, N_LONG = 5, 105
 
 
-def bench_spmv(A_dev, x, n_warm=5, n_iter=50):
-    import jax
-
-    f = jax.jit(lambda v: A_dev.matvec(v))
-    for _ in range(n_warm):
-        f(x).block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(n_iter):
-        y = f(x)
-    y.block_until_ready()
-    dt = (time.perf_counter() - t0) / n_iter
-    return dt
+def _slope(f, *args):
+    """Per-iteration seconds via value-fetch times of two loop lengths."""
+    float(f(*args, n=N_SHORT))   # compile + first-exec upload
+    float(f(*args, n=N_LONG))
+    reps = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(f(*args, n=N_SHORT))
+        t_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(f(*args, n=N_LONG))
+        t_l = time.perf_counter() - t0
+        reps.append((t_l - t_s) / (N_LONG - N_SHORT))
+    return max(1e-9, float(np.median(reps)))
 
 
 def main():
     import jax
     import jax.numpy as jnp
 
-    from saena_tpu.amg.cycles import vcycle
-    from saena_tpu.amg.hierarchy import SolveParams
+    from saena_tpu.config import Options
+    from saena_tpu.amg import hierarchy as H
     from saena_tpu.amg import solvers as S
-    from saena_tpu.ops.formats import pad_to
+    from saena_tpu.amg.cycles import vcycle
+    from saena_tpu.core.coo import remove_boundary_nodes
+    from saena_tpu.generators import laplacian3D, laplacian3D_set_rhs
 
     dtype = jnp.float32
-    m = 64  # 64^3 = 262k rows, ~1.7M nnz fine level
-    A, rhs, hier, info, opts, setup_s = _setup_poisson(m, dtype)
-    params = SolveParams.from_options(opts)
+    m = 48  # 48^3 grid, ~97k interior rows
+    A0 = laplacian3D(m, m, m)
+    rhs0 = laplacian3D_set_rhs(m, m, m)
+    A, _, _, _, rhs = remove_boundary_nodes(A0, rhs0)
     n = A.shape[0]
 
-    # ---- SpMV nnz/s (hot kernel, fine level) ----
-    A0 = hier.levels[0].A
-    rng = np.random.default_rng(0)
-    x = jnp.asarray(
-        np.pad(rng.standard_normal(n), (0, hier.n_pad - n)), dtype=dtype)
-    spmv_s = bench_spmv(A0, x)
-    nnz_per_s = A0.nnz / spmv_s
-
-    # ---- V-cycle wall time ----
-    vc = jax.jit(lambda r: vcycle(hier, params, jnp.zeros_like(r), r))
-    for _ in range(3):
-        vc(x).block_until_ready()
+    opts = Options()
     t0 = time.perf_counter()
-    N_VC = 20
-    for _ in range(N_VC):
-        y = vc(x)
-    y.block_until_ready()
-    vcycle_s = (time.perf_counter() - t0) / N_VC
+    hier, info = H.setup(A, opts, dtype=dtype)
+    setup_s = time.perf_counter() - t0
+    params = H.SolveParams.from_options(opts)
 
-    # ---- pCG iterations to 1e-8 (avg of 10 solves after 5 warmups,
-    #      mirroring experiments/Poisson.cpp:216-246) ----
+    # ---- SpMV nnz/s (hot kernel, fine level), dispatch-free slope ----
+    @partial(jax.jit, static_argnames=("n",))
+    def mv_chain(Amat, x, n):
+        def body(i, v):
+            w = Amat.matvec(v)
+            return w / (1.0 + jnp.max(jnp.abs(w)))
+        return jnp.sum(jax.lax.fori_loop(0, n, body, x))
+
+    A0dev = hier.levels[0].A
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(np.pad(rng.standard_normal(n), (0, hier.n_pad - n)),
+                    dtype=dtype)
+    spmv_s = _slope(mv_chain, A0dev, x)
+    nnz_per_s = A0dev.nnz / spmv_s
+
+    # ---- V-cycle wall time (slope) ----
+    @partial(jax.jit, static_argnames=("n", "p"))
+    def vc_chain(h, p, x, n):
+        def body(i, v):
+            w = vcycle(h, p, jnp.zeros_like(v), v)
+            return w / (1.0 + jnp.max(jnp.abs(w)))
+        return jnp.sum(jax.lax.fori_loop(0, n, body, x))
+
+    vcycle_s = _slope(partial(vc_chain, hier, params), x)
+
+    # ---- pCG to 1e-8: iterations + solve wall time (value-fetch synced) ----
     rhs_pad = jnp.asarray(np.pad(rhs, (0, hier.n_pad - n)), dtype=dtype)
     res = S.solve_pCG(hier, rhs_pad, params=params, tol=1e-8, max_iter=100)
     iters = int(res.iters)
     rel = float(res.rel_res)
-    for _ in range(4):
-        S.solve_pCG(hier, rhs_pad, params=params, tol=1e-8,
-                    max_iter=100).u.block_until_ready()
-    t0 = time.perf_counter()
-    N_SOLVE = 10
-    for _ in range(N_SOLVE):
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
         out = S.solve_pCG(hier, rhs_pad, params=params, tol=1e-8, max_iter=100)
-    out.u.block_until_ready()
-    solve_s = (time.perf_counter() - t0) / N_SOLVE
+        float(out.final_res)
+        times.append(time.perf_counter() - t0)
+    solve_s = float(np.median(times))
 
-    # roofline baseline: v5e ~ 819 GB/s HBM, ~12 B/nnz effective traffic
-    hbm_bw = 819e9
+    hbm_bw = 819e9  # v5e
     roofline = hbm_bw / 12.0
     vs_baseline = nnz_per_s / roofline
 
@@ -110,9 +118,9 @@ def main():
         "detail": {
             "problem": f"poisson3d_{m}cube_interior",
             "n": n,
-            "nnz": A0.nnz,
-            "format": type(A0).__name__,
-            "dtype": str(dtype.__name__ if hasattr(dtype, '__name__') else dtype),
+            "nnz": A0dev.nnz,
+            "format": type(A0dev).__name__,
+            "dtype": "float32",
             "spmv_us": round(spmv_s * 1e6, 2),
             "vcycle_ms": round(vcycle_s * 1e3, 3),
             "pcg_iters_to_1e8": iters,

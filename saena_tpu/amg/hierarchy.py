@@ -58,8 +58,8 @@ class Level:
 
     A: DeviceMatrix
     inv_diag: jax.Array                      # (n_pad,)
-    P: Optional[EllMatrix]                   # (n, n_coarse)
-    R: Optional[EllMatrix]                   # (n_coarse, n)
+    P: Optional[DeviceMatrix]                # (n, n_coarse) — ELL or BSR
+    R: Optional[DeviceMatrix]                # (n_coarse, n)
     n: int = _static()                       # logical size
     lvl: int = _static()
     eig_max: Optional[float] = _static(default=None)  # lambda_max(D^{-1}A)*1.0001
@@ -174,6 +174,18 @@ def default_dtype():
     return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
 
+def _transfer_from_csr(M: sp.csr_matrix, dtype):
+    """Device format for P/R transfer operators: BSR on TPU backends (the
+    per-element gather of ELL is the bottleneck there), ELL elsewhere."""
+    from saena_tpu.ops.formats import bsr_bytes_estimate, bsr_from_csr
+
+    if jax.default_backend() != "cpu" and M.nnz > 0:
+        est = bsr_bytes_estimate(M, dtype)
+        if est <= 768 * 1024 * 1024 and est <= 1024 * M.nnz:
+            return bsr_from_csr(M, dtype=dtype)
+    return ell_from_csr(M, dtype=dtype, width_quantile=0.98)
+
+
 def coarsen_csr(A: sp.csr_matrix, lvl: int, opts: Options):
     """One h-coarsening step: aggregation -> P -> R -> filtered Galerkin Ac.
     Returns (P, R, Ac, last_flag, theta_used) or None if coarsening is not
@@ -196,6 +208,21 @@ def coarsen_csr(A: sp.csr_matrix, lvl: int, opts: Options):
     Ac = filter_lump(Ac, thre)
     if opts.sample_sz_percent < 1.0:
         Ac = sparsify_majid(Ac, opts.sample_sz_percent)
+    if opts.reorder_coarse and Ac.shape[0] > 256:
+        # symmetric RCM reordering: narrows the coarse operator's band so
+        # block formats stay compact — a setup-time re-numbering exactly
+        # like the reference's repartition freedom. Grid-ordered operators
+        # (stencil aggregates) are often already better than the RCM band,
+        # so keep whichever ordering yields the smaller block footprint.
+        from saena_tpu.ops.formats import bsr_bytes_estimate, rcm_permutation
+
+        perm = rcm_permutation(Ac)
+        Ac_p = Ac[perm][:, perm].tocsr()
+        if bsr_bytes_estimate(Ac_p) < bsr_bytes_estimate(Ac):
+            Ac = Ac_p
+            Ac.sort_indices()
+            P = P[:, perm].tocsr()
+            R = R[perm].tocsr()
     return P, R, Ac, last, theta
 
 
@@ -318,8 +345,8 @@ def devicify(
         P_dev = R_dev = None
         if l < n_lv - 1:
             dt_next = low_dtype if (l + 1) >= opts.float_level else dtype
-            P_dev = ell_from_csr(Ps[l], dtype=dt_next, width_quantile=0.98)
-            R_dev = ell_from_csr(Rs[l], dtype=dt_next, width_quantile=0.98)
+            P_dev = _transfer_from_csr(Ps[l], dt_next)
+            R_dev = _transfer_from_csr(Rs[l], dt_next)
 
         levels.append(
             Level(A=Adev, inv_diag=jnp.asarray(inv_diag, dtype=dt),

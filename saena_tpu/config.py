@@ -63,6 +63,11 @@ class Options:
     # ---- scaling (ref: saena_object.h:53 `scale`) ----
     scale: bool = False                # symmetric D^{-1/2} A D^{-1/2} scaling
 
+    # ---- TPU format policy ----
+    reorder_coarse: bool = True        # RCM-reorder coarse operators at setup so
+                                       # block formats stay narrow (setup-time row
+                                       # reordering, like the reference's repart)
+
     # ---- parallel policy (TPU-native analogs of shrink/repart) ----
     replicate_threshold: int = 5000    # coarse levels below this global size are replicated
                                        # (analog of processor shrinking to 1 rank, shrink.cpp:67)

@@ -95,6 +95,48 @@ class ShardedEll:
 
 @_register
 @dataclasses.dataclass(frozen=True)
+class ShardedDense:
+    """Row-sharded dense block with a RING (systolic) matvec: x blocks
+    rotate around the mesh via ppermute while each device multiplies its
+    matching column panel — the direct analog of the reference's dense
+    pipelined matvec (saena_matrix_dense.cpp:181-260), with XLA's async
+    collectives overlapping the transfer with the MXU panel product."""
+
+    data: jax.Array              # (D, n_loc_pad, D * n_loc_pad)
+    shape: tuple = _static()
+    nnz: int = _static()
+    axis: str = _static(default="d")
+    n_devices: int = _static(default=1)
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    def matvec(self, x_loc: jax.Array, exact: bool = False) -> jax.Array:
+        A_loc = self.data[0]                     # (n_loc_pad, D*n_loc_pad)
+        D = self.n_devices
+        n_loc = x_loc.shape[0]
+        my = jax.lax.axis_index(self.axis)
+        x_loc = x_loc.astype(self.dtype)
+
+        def step(s, carry):
+            x_cur, y = carry
+            e = ((my + s) % D).astype(jnp.int32)
+            panel = jax.lax.dynamic_slice(
+                A_loc, (jnp.int32(0), e * jnp.int32(n_loc)),
+                (A_loc.shape[0], n_loc))
+            y = y + jnp.dot(panel, x_cur, preferred_element_type=y.dtype)
+            x_next = jax.lax.ppermute(
+                x_cur, self.axis, perm=[(j, (j - 1) % D) for j in range(D)])
+            return x_next, y
+
+        y0 = jnp.zeros(A_loc.shape[0], dtype=self.dtype)
+        _, y = jax.lax.fori_loop(0, D, step, (x_loc, y0))
+        return y
+
+
+@_register
+@dataclasses.dataclass(frozen=True)
 class ShardedLevel:
     """One sharded grid level (analog of Grid over an active communicator)."""
 
@@ -319,6 +361,23 @@ def _build_sharded_ell(
     )
 
 
+def _build_sharded_dense(A: sp.csr_matrix, split: np.ndarray, dtype,
+                         axis: str, D: int) -> ShardedDense:
+    """Dense row blocks over the blocked-padded column layout, for the ring
+    matvec (the reference's generate_dense_matrix + dense matvec analog)."""
+    n_loc_pad = pad_to(int(np.max(np.diff(split))))
+    data = np.zeros((D, n_loc_pad, D * n_loc_pad))
+    Ac = A.tocsr()
+    for d in range(D):
+        blk = Ac[split[d]: split[d + 1]].tocoo()
+        own = np.searchsorted(split, blk.col, side="right") - 1
+        cc = own * n_loc_pad + (blk.col - split[own])
+        data[d][blk.row, cc] = blk.data
+    return ShardedDense(
+        data=jnp.asarray(data, dtype=dtype), shape=A.shape, nnz=int(A.nnz),
+        axis=axis, n_devices=D)
+
+
 def _col_sharded_restriction(
     R: sp.csr_matrix, fine_split: np.ndarray, dtype, axis: str,
 ) -> ShardedEll:
@@ -390,8 +449,13 @@ def shard_hierarchy(
     for l in range(n_sharded):
         A = csr_levels[l]
         dt = low_dtype if l >= opts.float_level else dtype
-        Ash = _build_sharded_ell(A, splits[l], splits[l], dt, mode, axis,
-                                 compress=compress)
+        density = A.nnz / max(1, A.shape[0] ** 2)
+        if (opts.switch_to_dense and l > 0 and density > opts.dense_thre
+                and A.shape[0] <= opts.dense_sz_thre):
+            Ash = _build_sharded_dense(A, splits[l], dt, axis, D)
+        else:
+            Ash = _build_sharded_ell(A, splits[l], splits[l], dt, mode, axis,
+                                     compress=compress)
         n_rows_pad = pad_to(int(np.max(np.diff(splits[l]))))
         inv_d = np.zeros((D, n_rows_pad))
         diag = A.diagonal()

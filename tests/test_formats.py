@@ -80,3 +80,40 @@ def test_padding_preserved():
     y = dev.matvec(x)
     assert y.shape[0] == 128
     np.testing.assert_allclose(np.asarray(y)[125:], 0.0)
+
+
+def test_bsr_matvec():
+    from saena_tpu.ops.formats import bsr_from_csr
+
+    A = laplacian3D(10, 10, 10)
+    _spmv_check(A, bsr_from_csr(A, dtype=jnp.float64))
+
+
+def test_bsr_matvec_irregular():
+    from saena_tpu.ops.formats import bsr_from_csr
+
+    A = random_symm_matrix(500, 0.02, seed=6)
+    _spmv_check(A, bsr_from_csr(A, dtype=jnp.float64))
+
+
+def test_bsr_rectangular():
+    from saena_tpu.ops.formats import bsr_from_csr
+
+    A = sp.random(260, 140, density=0.08, random_state=7, format="csr")
+    _spmv_check(A, bsr_from_csr(A, dtype=jnp.float64))
+
+
+def test_rcm_reduces_bsr_bytes():
+    from saena_tpu.ops.formats import bsr_bytes_estimate, rcm_permutation
+    from saena_tpu.amg.strength import find_aggregation
+    from saena_tpu.amg.prolongation import smoothed_prolongator, restriction
+    from saena_tpu.amg.galerkin import galerkin_product
+
+    A = laplacian3D(14, 14, 14)
+    agg, n_c, _ = find_aggregation(A, 0.3)
+    P = smoothed_prolongator(A, agg, n_c)
+    Ac = galerkin_product(restriction(P), A, P)
+    before = bsr_bytes_estimate(Ac)
+    p = rcm_permutation(Ac)
+    after = bsr_bytes_estimate(Ac[p][:, p].tocsr())
+    assert after <= before

@@ -129,3 +129,43 @@ def test_sharded_irregular_matrix(mesh):
     u, iters, r0, rfin, hist = sharded_solve_pCG(
         sh, splits, rhs, mesh, params=params, tol=1e-8, max_iter=300)
     assert np.linalg.norm(rhs - A @ u) / np.linalg.norm(rhs) < 1e-6
+
+
+def test_sharded_dense_ring_matvec(mesh):
+    """Ring (systolic) dense matvec on a sharded dense level
+    (saena_matrix_dense.cpp:181-260 analog)."""
+    from saena_tpu.parallel.sharded import _build_sharded_dense
+
+    A = random_symm_matrix(300, 0.3, seed=21)
+    split = equal_row_split(300, D)
+    sh = _build_sharded_dense(A, split, jnp.float64, "d", D)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(300)
+    xb = jnp.asarray(blocked_pad_vector(x, split))
+
+    def body(m_, xloc):
+        return m_.matvec(xloc[0])[None]
+
+    y = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(jax.tree.map(lambda _: P("d"), sh), P("d")),
+        out_specs=P("d"), check_vma=False,
+    )(sh, xb)
+    got = unblock_vector(np.asarray(y), split)
+    np.testing.assert_allclose(got, A @ x, rtol=1e-12, atol=1e-10)
+
+
+def test_sharded_pcg_with_dense_level(mesh):
+    """Hierarchy where a sharded coarse level crosses the dense switch."""
+    A, rhs = _poisson_interior(18)
+    opts = Options(replicate_threshold=300, dense_thre=0.005,
+                   dense_sz_thre=3000)
+    hier, info = H.setup(A, opts)
+    params = H.SolveParams.from_options(opts)
+    sh, splits = shard_hierarchy(info, opts, mesh)
+    from saena_tpu.parallel.sharded import ShardedDense
+    kinds = [type(lv.A).__name__ for lv in sh.sharded]
+    assert "ShardedDense" in kinds, kinds
+    u, iters, r0, rfin, hist = sharded_solve_pCG(
+        sh, splits, rhs, mesh, params=params, tol=1e-8, max_iter=100)
+    assert np.linalg.norm(rhs - A @ u) / np.linalg.norm(rhs) < 1e-7

@@ -1,0 +1,51 @@
+"""Profiling surfaces + scipy comparison oracles."""
+import numpy as np
+
+from saena_tpu.config import Options
+from saena_tpu.amg import hierarchy as H
+from saena_tpu.generators import laplacian2D, laplacian3D, random_symm_matrix
+from saena_tpu.profiling import format_breakdown, profile_matvecs, vcycle_breakdown
+from saena_tpu import oracles
+
+
+def test_profile_matvecs():
+    A = laplacian3D(8, 8, 8)
+    hier, info = H.setup(A, Options())
+    rows = profile_matvecs(hier, n_iter=3)
+    assert len(rows) == hier.n_levels
+    assert all(r["nnz_per_s"] > 0 for r in rows)
+    assert rows[0]["n"] == A.shape[0]
+
+
+def test_vcycle_breakdown():
+    A = laplacian2D(24, 24)
+    opts = Options()
+    hier, _ = H.setup(A, opts)
+    params = H.SolveParams.from_options(opts)
+    rhs = np.zeros(hier.n_pad)
+    rhs[: A.shape[0]] = 1.0
+    bd = vcycle_breakdown(hier, params, rhs, n_iter=3)
+    for key in ("smooth", "resid", "Rtransfer", "Ptransfer", "coarsest",
+                "other", "total"):
+        assert key in bd
+    assert "total" in format_breakdown(bd)
+
+
+def test_oracles():
+    A = random_symm_matrix(80, 0.1, seed=3)
+    rhs = A @ np.ones(80)
+    u = oracles.solve_scipy_direct(A, rhs)
+    np.testing.assert_allclose(u, 1.0, rtol=1e-8)
+    u2, iters = oracles.solve_scipy_cg(A + 10 * np.eye(80), rhs)
+    assert iters > 0
+    B = random_symm_matrix(80, 0.1, seed=4)
+    C = (A @ B).tocsr()
+    assert oracles.check_matmat(A, B, C) < 1e-12
+    assert oracles.matrix_diff(A, A) == 0.0
+
+
+def test_scaling_efficiency_helper():
+    from saena_tpu.parallel.multihost import scaling_efficiency
+
+    assert scaling_efficiency(8e9, 1e9, 8) == 1.0
+    assert scaling_efficiency(4e9, 1e9, 8) == 0.5
