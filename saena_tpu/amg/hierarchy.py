@@ -124,6 +124,10 @@ class SolveParams:
     direct_solver: str = "LU"
     CG_coarsest_max_iter: int = 150
     CG_coarsest_tol: float = 1e-12
+    # recompute r = A u - rhs every k CG iterations (0 = never): keeps the
+    # recursive residual honest in low precision (f32 drift reaches ~1e-6
+    # relative without it; van der Vorst residual replacement)
+    residual_replace: int = 8
 
     @classmethod
     def from_options(cls, o: Options) -> "SolveParams":

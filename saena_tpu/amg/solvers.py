@@ -30,8 +30,9 @@ class SolveResult:
     u: jax.Array
     iters: jax.Array            # iterations performed
     init_res: jax.Array         # ||r0||
-    final_res: jax.Array        # ||r_final||
+    final_res: jax.Array        # ||r_final|| (solver-internal residual)
     history: jax.Array          # ||r_i||, padded with NaN past `iters`
+    true_res: jax.Array         # ||A u - rhs|| recomputed at exit
 
     @property
     def rel_res(self):
@@ -80,12 +81,22 @@ def _pcg(hierarchy: Hierarchy, params: SolveParams, rhs, tol, max_iter: int):
         alpha = rho_res / pdoth
         u = u - alpha * p
         r = r - alpha * h
+        replaced = jnp.asarray(False)
+        if params.residual_replace > 0:
+            # periodic residual replacement: bound low-precision drift of
+            # the recursive residual from the true b - A u. The direction
+            # restarts (beta = 0) on replacement iterations — carrying beta
+            # against a replaced residual destroys conjugacy.
+            replaced = (i + 1) % params.residual_replace == 0
+            r = jax.lax.cond(replaced,
+                             lambda _: A.matvec(u) - rhs,
+                             lambda _: r, None)
         rr_new = _dot(r, r)
         hist = hist.at[i + 1].set(jnp.sqrt(rr_new))
 
         def cont(_):
             rho2 = vcycle(hierarchy, params, jnp.zeros_like(r), r)
-            beta = _dot(r, rho2) / rho_res
+            beta = jnp.where(replaced, 0.0, _dot(r, rho2) / rho_res)
             return rho2, rho2 + beta * p
 
         rho, p = jax.lax.cond(rr_new >= thr, cont, lambda _: (rho, p), None)
@@ -94,9 +105,10 @@ def _pcg(hierarchy: Hierarchy, params: SolveParams, rhs, tol, max_iter: int):
     i, u, r, rho, p, rr, hist = jax.lax.while_loop(
         cond, body, (0, u, r, rho, p, init_dot, hist)
     )
+    true_res = jnp.linalg.norm(A.matvec(u) - rhs)
     return SolveResult(
         u=u, iters=i, init_res=jnp.sqrt(init_dot),
-        final_res=jnp.sqrt(rr), history=hist,
+        final_res=jnp.sqrt(rr), history=hist, true_res=true_res,
     )
 
 
@@ -134,7 +146,8 @@ def _vcycle_iter(hierarchy, params, rhs, tol, max_iter: int):
 
     i, u, rr, hist = jax.lax.while_loop(cond, body, (0, u, init_dot, hist))
     return SolveResult(u=u, iters=i, init_res=jnp.sqrt(init_dot),
-                       final_res=jnp.sqrt(rr), history=hist)
+                       final_res=jnp.sqrt(rr), history=hist,
+                       true_res=jnp.sqrt(rr))
 
 
 def solve(hierarchy, rhs, params=None, tol: float = 1e-8,
@@ -171,7 +184,8 @@ def _smoother_iter(hierarchy, params, rhs, tol, max_iter: int):
 
     i, u, rr, hist = jax.lax.while_loop(cond, body, (0, u, init_dot, hist))
     return SolveResult(u=u, iters=i, init_res=jnp.sqrt(init_dot),
-                       final_res=jnp.sqrt(rr), history=hist)
+                       final_res=jnp.sqrt(rr), history=hist,
+                       true_res=jnp.sqrt(rr))
 
 
 def solve_smoother(hierarchy, rhs, params=None, tol: float = 1e-8,
@@ -210,8 +224,10 @@ def _cg(A, rhs, tol, max_iter: int):
 
     i, u, r, p, rr, hist = jax.lax.while_loop(
         cond, body, (0, u, r, r, init_dot, hist))
+    true_res = jnp.linalg.norm(rhs - A.matvec(u))
     return SolveResult(u=u, iters=i, init_res=jnp.sqrt(init_dot),
-                       final_res=jnp.sqrt(rr), history=hist)
+                       final_res=jnp.sqrt(rr), history=hist,
+                       true_res=true_res)
 
 
 def solve_CG(hierarchy, rhs, params=None, tol: float = 1e-8,
@@ -302,4 +318,5 @@ def solve_GMRES(hierarchy, rhs, params=None, tol: float = 1e-8,
         init_res=jnp.asarray(init_res, dtype=dtype),
         final_res=jnp.asarray(res_norm, dtype=dtype),
         history=hist_arr,
+        true_res=jnp.asarray(res_norm, dtype=dtype),
     )

@@ -254,12 +254,18 @@ def _pcg_body(sh: ShardedHierarchy, params: SolveParams, rhs, tol, max_iter: int
         alpha = rho_res / pdoth
         u = u - alpha * p
         r = r - alpha * h
+        replaced = jnp.asarray(False)
+        if params.residual_replace > 0:
+            replaced = (i + 1) % params.residual_replace == 0
+            r = jax.lax.cond(replaced,
+                             lambda _: A.matvec(u, exact=True) - rhs,
+                             lambda _: r, None)
         rr_new = pdot(r, r)
         hist = hist.at[i + 1].set(jnp.sqrt(rr_new))
 
         def cont(_):
             rho2 = sharded_vcycle(sh, params, jnp.zeros_like(r), r)
-            beta = pdot(r, rho2) / rho_res
+            beta = jnp.where(replaced, 0.0, pdot(r, rho2) / rho_res)
             return rho2, rho2 + beta * p
 
         rho, p = jax.lax.cond(rr_new >= thr, cont, lambda _: (rho, p), None)
