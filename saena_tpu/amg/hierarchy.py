@@ -126,8 +126,10 @@ class SolveParams:
     CG_coarsest_tol: float = 1e-12
     # recompute r = A u - rhs every k CG iterations (0 = never): keeps the
     # recursive residual honest in low precision (f32 drift reaches ~1e-6
-    # relative without it; van der Vorst residual replacement)
-    residual_replace: int = 8
+    # relative without it; van der Vorst residual replacement). Default 0
+    # matches the reference's recursive-residual pCG exactly (iteration-
+    # count parity); true_res on the result reports the honest number.
+    residual_replace: int = 0
 
     @classmethod
     def from_options(cls, o: Options) -> "SolveParams":
@@ -368,6 +370,9 @@ def devicify(
         Acoarse = csr_levels[-1]
         n = Acoarse.shape[0]
         dt = low_dtype if (n_lv - 1) >= opts.float_level else dtype
+        # LU needs at least f32 (no bf16/f16 factorization kernels)
+        if jnp.dtype(dt).itemsize < 4:
+            dt = jnp.float32
         dm = dense_from_csr(Acoarse, dtype=dt, unit_diag_pad=True)
         lu, piv = jax.scipy.linalg.lu_factor(dm.data)
         coarse_lu = CoarseLU(lu=lu, piv=piv, n=n)

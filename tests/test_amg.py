@@ -197,3 +197,38 @@ def test_solver_params_cache_hit():
     r1 = S.solve_pCG(hier, rhs_p, params=params)
     r2 = S.solve_pCG(hier, 2 * rhs_p, params=params)
     np.testing.assert_allclose(np.asarray(r2.u), 2 * np.asarray(r1.u), rtol=1e-10)
+
+
+def test_bfloat16_mid_levels():
+    """bf16 levels >= float_level keep preconditioner quality (the TPU
+    analog of the reference's float_level single-precision levels)."""
+    m = 14
+    A = laplacian3D(m, m, m)
+    rhs = laplacian3D_set_rhs(m, m, m)
+    opts = Options(float_level=1, low_dtype="bfloat16")
+    hier, info, = H.setup(A, opts)
+    params = H.SolveParams.from_options(opts)
+    res = S.solve_pCG(hier, _pad(rhs, hier.n_pad), params=params,
+                      tol=1e-8, max_iter=60)
+    assert float(res.rel_res) < 1e-8
+    assert str(hier.levels[-1].A.dtype) == "bfloat16"
+    # coarsest LU must have been promoted to at least f32
+    assert hier.coarse_lu.lu.dtype in (np.dtype("float32"), np.dtype("float64"))
+
+
+def test_residual_replacement_honesty():
+    """With replacement every iteration, the internal residual equals the
+    honestly evaluated one (true_res)."""
+    import dataclasses as dc
+
+    m = 12
+    A = laplacian3D(m, m, m)
+    rhs = laplacian3D_set_rhs(m, m, m)
+    opts = Options()
+    hier, _ = H.setup(A, opts)
+    params = dc.replace(H.SolveParams.from_options(opts), residual_replace=1)
+    res = S.solve_pCG(hier, _pad(rhs, hier.n_pad), params=params,
+                      tol=1e-8, max_iter=60)
+    assert float(res.rel_res) < 1e-8
+    np.testing.assert_allclose(float(res.final_res), float(res.true_res),
+                               rtol=1e-6)
