@@ -59,6 +59,25 @@ class HaloPlan:
     axis: str = _static(default="d")
     compress: str = _static(default="")       # "", "bfloat16", "float16"
 
+    def extend_chunks(self, x_loc: jax.Array, exact: bool = False) -> jax.Array:
+        """Chunk-granular halo: x_loc (n_loc_pad,) viewed as 128-wide chunks;
+        send_idx holds CHUNK ids. Returns (n_chunks_ext, 128). The payload
+        moves in 512-byte chunks — the natural granularity for BSR column
+        blocks, and a far better wire unit than scalar slots."""
+        xb = x_loc.reshape(-1, 128)
+        if self.mode in ("direct", "none"):
+            return xb
+        if self.mode == "allgather":
+            return jax.lax.all_gather(x_loc, self.axis, tiled=True).reshape(-1, 128)
+        send = jnp.take(xb, self.send_idx[0], axis=0)    # (D, max_send, 128)
+        compress = self.compress and not exact
+        if compress:
+            send = send.astype(jnp.dtype(self.compress))
+        recv = jax.lax.all_to_all(send, self.axis, split_axis=0, concat_axis=0)
+        if compress:
+            recv = recv.astype(x_loc.dtype)
+        return jnp.concatenate([xb, recv.reshape(-1, 128)], axis=0)
+
     def extend(self, x_loc: jax.Array, exact: bool = False) -> jax.Array:
         """Build the extended local vector the SpMV gathers from.
         x_loc: (n_loc_pad,) local block inside shard_map.

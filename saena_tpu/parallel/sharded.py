@@ -95,6 +95,37 @@ class ShardedEll:
 
 @_register
 @dataclasses.dataclass(frozen=True)
+class ShardedBsr:
+    """Row-sharded (8,128)-block BSR with chunk-granular halo exchange:
+    bcols reference the extended chunk space [local chunks | halo chunks]
+    built by plan.extend_chunks. This carries the single-chip BSR speedup
+    (512-byte block gathers + batched MXU products instead of scalar HBM
+    gathers) onto the mesh, with halos moving as whole 128-value chunks."""
+
+    blocks: jax.Array            # (D, n_br_loc, W, 8, 128)
+    bcols: jax.Array             # (D, n_br_loc, W) int32 — extended chunk ids
+    plan: HaloPlan
+    shape: tuple = _static()
+    nnz: int = _static()
+
+    @property
+    def dtype(self):
+        return self.blocks.dtype
+
+    def matvec(self, x_loc: jax.Array, exact: bool = False) -> jax.Array:
+        ext = self.plan.extend_chunks(x_loc.astype(self.dtype), exact=exact)
+        bcols = self.bcols[0]
+        blocks = self.blocks[0]
+        n_br, W = bcols.shape
+        g = jnp.take(ext, bcols, axis=0)               # (n_br, W, 128)
+        B = blocks.transpose(0, 2, 1, 3).reshape(n_br, 8, W * 128)
+        y = jnp.einsum("rik,rk->ri", B, g.reshape(n_br, W * 128),
+                       preferred_element_type=self.dtype)
+        return y.reshape(-1)
+
+
+@_register
+@dataclasses.dataclass(frozen=True)
 class ShardedDense:
     """Row-sharded dense block with a RING (systolic) matvec: x blocks
     rotate around the mesh via ppermute while each device multiplies its
@@ -367,6 +398,132 @@ def _build_sharded_ell(
     )
 
 
+def _build_sharded_bsr(
+    A: sp.csr_matrix,
+    row_split: np.ndarray,
+    col_split: np.ndarray,
+    dtype,
+    mode: str,
+    axis: str,
+    compress: str = "",
+) -> ShardedBsr:
+    """Row-sharded BSR with a chunk-granular halo plan."""
+    D = len(row_split) - 1
+    n_rows_pad = pad_to(int(np.max(np.diff(row_split))))
+    n_br = n_rows_pad // 8
+    n_cols_loc_pad = pad_to(int(np.max(np.diff(col_split))))
+    n_ch_loc = n_cols_loc_pad // 128
+    A = A.tocsr()
+
+    dev = []
+    needed = [None] * D
+    W = 1
+    for d in range(D):
+        blk = A[row_split[d]: row_split[d + 1]].tocoo()
+        own = np.searchsorted(col_split, blk.col, side="right") - 1
+        gch = own * n_ch_loc + (blk.col - col_split[own]) // 128
+        br = blk.row // 8
+        key = br.astype(np.int64) * (D * n_ch_loc) + gch
+        uniq, inv = np.unique(key, return_inverse=True)
+        u_br = uniq // (D * n_ch_loc)
+        u_ch = uniq % (D * n_ch_loc)
+        W = max(W, int(np.bincount(u_br, minlength=n_br).max()) if uniq.size else 1)
+        needed[d] = np.unique(u_ch[(u_ch // n_ch_loc) != d])
+        dev.append((blk, own, gch, br, uniq, inv, u_br, u_ch))
+
+    if mode == "allgather":
+        max_send = 0
+        send_idx = np.zeros((D, D, 1), dtype=np.int32)
+    else:
+        max_send = max(1, max((len(n) for n in needed), default=1))
+        send_idx = np.zeros((D, D, max_send), dtype=np.int32)
+        for d in range(D):
+            for e in range(D):
+                if e == d:
+                    continue
+                need_de = needed[d][needed[d] // n_ch_loc == e]
+                send_idx[e, d, : need_de.size] = (need_de - e * n_ch_loc).astype(np.int32)
+
+    blocks = np.zeros((D, n_br, W, 8, 128))
+    bcols = np.zeros((D, n_br, W), dtype=np.int32)
+    for d in range(D):
+        blk, own, gch, br, uniq, inv, u_br, u_ch = dev[d]
+        if uniq.size == 0:
+            continue
+        # remap global chunk -> extended local chunk index
+        if mode == "allgather":
+            ext = u_ch.astype(np.int32)
+        else:
+            ext = np.empty(uniq.size, dtype=np.int32)
+            local = (u_ch // n_ch_loc) == d
+            ext[local] = (u_ch[local] - d * n_ch_loc).astype(np.int32)
+            for e in range(D):
+                if e == d:
+                    continue
+                need_de = needed[d][needed[d] // n_ch_loc == e]
+                lut = {int(c): n_ch_loc + e * max_send + k
+                       for k, c in enumerate(need_de)}
+                sel = np.flatnonzero((u_ch // n_ch_loc) == e)
+                for i in sel:
+                    ext[i] = lut[int(u_ch[i])]
+        # slot within block-row
+        order = np.argsort(u_br, kind="stable")
+        counts = np.bincount(u_br, minlength=n_br)
+        starts = np.cumsum(counts) - counts
+        slot = np.empty(uniq.size, dtype=np.int64)
+        slot[order] = np.arange(uniq.size) - starts[u_br[order]]
+        bcols[d, u_br, slot] = ext
+        in_chunk = (blk.col - col_split[own]) % 128   # offset within the
+        # owner's blocked-padded chunk (col % 128 would be wrong when the
+        # owner's block doesn't start at a 128 boundary of the global ids)
+        blocks[d, u_br[inv], slot[inv], blk.row % 8, in_chunk] = blk.data
+
+    plan = HaloPlan(
+        send_idx=jnp.asarray(send_idx), n_local=n_cols_loc_pad,
+        max_send=max_send, mode=mode, axis=axis, compress=compress)
+    return ShardedBsr(
+        blocks=jnp.asarray(blocks, dtype=dtype), bcols=jnp.asarray(bcols),
+        plan=plan, shape=A.shape, nnz=int(A.nnz))
+
+
+def _sharded_bsr_bytes(A: sp.csr_matrix, row_split, col_split, dtype) -> int:
+    D = len(row_split) - 1
+    n_rows_pad = pad_to(int(np.max(np.diff(row_split))))
+    n_br = n_rows_pad // 8
+    n_ch_loc = pad_to(int(np.max(np.diff(col_split)))) // 128
+    A = A.tocsr()
+    W = 1
+    for d in range(D):
+        blk = A[row_split[d]: row_split[d + 1]].tocoo()
+        if blk.nnz == 0:
+            continue
+        own = np.searchsorted(col_split, blk.col, side="right") - 1
+        gch = own * n_ch_loc + (blk.col - col_split[own]) // 128
+        key = (blk.row // 8).astype(np.int64) * (D * n_ch_loc) + gch
+        u_br = np.unique(key) // (D * n_ch_loc)
+        W = max(W, int(np.bincount(u_br, minlength=n_br).max()))
+    import jax.numpy as _jnp
+
+    return D * n_br * W * 8 * 128 * _jnp.dtype(dtype).itemsize
+
+
+def _sharded_operator(A, row_split, col_split, dtype, mode, axis,
+                      compress="", fmt="auto"):
+    """Dispatch ShardedBsr vs ShardedEll for a sharded operator."""
+    use_bsr = fmt == "bsr"
+    if fmt == "auto":
+        import jax as _jax
+
+        if _jax.default_backend() != "cpu" and A.nnz > 0:
+            est = _sharded_bsr_bytes(A, row_split, col_split, dtype)
+            use_bsr = est <= 768 * 1024 * 1024 and est <= 1024 * A.nnz
+    if use_bsr:
+        return _build_sharded_bsr(A, row_split, col_split, dtype, mode, axis,
+                                  compress=compress)
+    return _build_sharded_ell(A, row_split, col_split, dtype, mode, axis,
+                              compress=compress)
+
+
 def _build_sharded_dense(A: sp.csr_matrix, split: np.ndarray, dtype,
                          axis: str, D: int) -> ShardedDense:
     """Dense row blocks over the blocked-padded column layout, for the ring
@@ -425,6 +582,7 @@ def shard_hierarchy(
     mesh: Mesh,
     dtype=None,
     eigs: Optional[list] = None,
+    sharded_format: str = "auto",   # "auto" | "ell" | "bsr"
 ) -> ShardedHierarchy:
     """Partition the fine levels of a host hierarchy across the mesh; levels
     with global size < opts.replicate_threshold form the replicated tail."""
@@ -460,8 +618,8 @@ def shard_hierarchy(
                 and A.shape[0] <= opts.dense_sz_thre):
             Ash = _build_sharded_dense(A, splits[l], dt, axis, D)
         else:
-            Ash = _build_sharded_ell(A, splits[l], splits[l], dt, mode, axis,
-                                     compress=compress)
+            Ash = _sharded_operator(A, splits[l], splits[l], dt, mode, axis,
+                                    compress=compress, fmt=sharded_format)
         n_rows_pad = pad_to(int(np.max(np.diff(splits[l]))))
         inv_d = np.zeros((D, n_rows_pad))
         diag = A.diagonal()
@@ -479,11 +637,13 @@ def shard_hierarchy(
         if l + 1 < n_sharded:
             dt_next = low_dtype if (l + 1) >= opts.float_level else dtype
             # R: rows on coarse split, columns in fine split space
-            R_next = _build_sharded_ell(Rs[l], splits[l + 1], splits[l],
-                                        dt_next, mode, axis, compress=compress)
+            R_next = _sharded_operator(Rs[l], splits[l + 1], splits[l],
+                                       dt_next, mode, axis, compress=compress,
+                                       fmt=sharded_format)
             # P: rows on fine split, columns in coarse split space
-            P_next = _build_sharded_ell(Ps[l], splits[l], splits[l + 1],
-                                        dt_next, mode, axis, compress=compress)
+            P_next = _sharded_operator(Ps[l], splits[l], splits[l + 1],
+                                       dt_next, mode, axis, compress=compress,
+                                       fmt=sharded_format)
 
         sharded_levels.append(
             ShardedLevel(A=Ash, inv_diag=jnp.asarray(inv_d, dtype=dt),
