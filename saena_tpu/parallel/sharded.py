@@ -315,6 +315,9 @@ def _pcg_body(sh: ShardedHierarchy, params: SolveParams, rhs, tol, max_iter: int
 def make_mesh(n_devices: Optional[int] = None, axis: str = "d") -> Mesh:
     devs = jax.devices()
     if n_devices is not None:
+        if n_devices > len(devs):
+            raise ValueError(
+                f"requested {n_devices} devices but only {len(devs)} exist")
         devs = devs[:n_devices]
     return Mesh(np.asarray(devs), (axis,))
 
