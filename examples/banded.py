@@ -4,6 +4,11 @@ smoother throughput on saena::band_matrix — config 2 of BASELINE.md.
 
 Usage: python examples/banded.py [M [bandwidth]]
 """
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import sys
 import time

@@ -5,6 +5,11 @@ matrices over a density sweep, timed after warmups, verified vs scipy.
 
 Usage: python examples/gemm.py [M] [--densities 0.001,0.01] [--devices N]
 """
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import sys
 import time

@@ -5,6 +5,11 @@ refresh the hierarchy without re-aggregating.
 
 Usage: python examples/lazy.py [m] [--steps N]
 """
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import sys
 import time

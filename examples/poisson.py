@@ -5,6 +5,11 @@ remove boundary, AMG setup, warm + timed pCG solves, report convergence.
 Usage: python examples/poisson.py [mx [my [mz]]] [--options file.{json,xml}]
        python examples/poisson.py 64            # 64^3
 """
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import sys
 import time

@@ -7,6 +7,11 @@ Usage: python examples/profile_file.py path/to/matrix.{mtx,bin} [--options f]
 e.g.   python examples/profile_file.py \
            /root/reference/data/FloridaCollection/bcsstk16.mtx
 """
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import sys
 import time

@@ -6,6 +6,11 @@ per host after saena_tpu.parallel.multihost.init_distributed().
 
 Usage: python examples/weak_scaling.py [--per-device 16] [--devices 1,2,4,8]
 """
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import sys
 import time

@@ -56,9 +56,12 @@ def coarsest_solve(hierarchy: Hierarchy, params: SolveParams, rhs):
                        params.CG_coarsest_max_iter, params.CG_coarsest_tol)
 
 
-def vcycle(hierarchy: Hierarchy, params: SolveParams, u, rhs, lvl: int = 0):
-    """One V-cycle at level ``lvl`` starting from iterate ``u`` (the solver
-    passes zeros for the preconditioner application)."""
+def vcycle(hierarchy: Hierarchy, params: SolveParams, u, rhs, lvl: int = 0,
+           u_is_zero: bool = True):
+    """One V-cycle at level ``lvl`` starting from iterate ``u``. The solver
+    and every recursive call pass a zero iterate, so the pre-smoother's
+    first A@0 matvec is elided (u_is_zero static); pass False when calling
+    with a nonzero u (the stationary solver)."""
     levels = hierarchy.levels
     level = levels[lvl]
 
@@ -66,7 +69,7 @@ def vcycle(hierarchy: Hierarchy, params: SolveParams, u, rhs, lvl: int = 0):
         return coarsest_solve(hierarchy, params, rhs)
 
     # 1. pre-smooth
-    u = smooth(level, params, u, rhs, params.preSmooth)
+    u = smooth(level, params, u, rhs, params.preSmooth, u_is_zero=u_is_zero)
     # 2. residual (reference sign: res = A u - rhs)
     res = level.A.matvec(u) - rhs
     # 3. restrict

@@ -10,16 +10,24 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def jacobi(A, inv_diag, u, rhs, iters: int, omega: float = 2.0 / 3.0):
-    """u <- u - omega D^{-1} (A u - rhs), `iters` times."""
-    for _ in range(iters):
-        u = u - omega * inv_diag * (A.matvec(u) - rhs)
+def jacobi(A, inv_diag, u, rhs, iters: int, omega: float = 2.0 / 3.0,
+           u_is_zero: bool = False):
+    """u <- u - omega D^{-1} (A u - rhs), `iters` times.
+    u_is_zero (static) elides the first A@0 matvec."""
+    for k in range(iters):
+        if k == 0 and u_is_zero:
+            u = omega * inv_diag * rhs
+        else:
+            u = u - omega * inv_diag * (A.matvec(u) - rhs)
     return u
 
 
-def chebyshev(A, inv_diag, eig_max: float, u, rhs, iters: int):
+def chebyshev(A, inv_diag, eig_max: float, u, rhs, iters: int,
+              u_is_zero: bool = False):
     """Chebyshev smoothing; eig_max is a static Python float of
-    lambda_max(D^{-1}A) (already includes the 1.0001 safety factor)."""
+    lambda_max(D^{-1}A) (already includes the 1.0001 safety factor).
+    u_is_zero (static) elides the first A@0 matvec — the V-cycle always
+    pre-smooths from a zero iterate."""
     if iters <= 0:
         return u
     alpha = 0.13 * eig_max
@@ -29,8 +37,12 @@ def chebyshev(A, inv_diag, eig_max: float, u, rhs, iters: int):
     s1 = theta / delta
     rhok = 1.0 / s1
 
-    d = inv_diag * (rhs - A.matvec(u)) * (1.0 / theta)
-    u = u + d
+    if u_is_zero:
+        d = inv_diag * rhs * (1.0 / theta)
+        u = d
+    else:
+        d = inv_diag * (rhs - A.matvec(u)) * (1.0 / theta)
+        u = u + d
     for _ in range(1, iters):
         rhokp1 = 1.0 / (2.0 * s1 - rhok)
         d1 = rhokp1 * rhok
@@ -42,12 +54,14 @@ def chebyshev(A, inv_diag, eig_max: float, u, rhs, iters: int):
     return u
 
 
-def smooth(level, params, u, rhs, iters: int):
+def smooth(level, params, u, rhs, iters: int, u_is_zero: bool = False):
     """Dispatch like saena_object::smooth (saena_object.tpp:5-16)."""
     if iters <= 0:
         return u
     if params.smoother == "jacobi":
-        return jacobi(level.A, level.inv_diag, u, rhs, iters, params.jacobi_omega)
+        return jacobi(level.A, level.inv_diag, u, rhs, iters,
+                      params.jacobi_omega, u_is_zero=u_is_zero)
     elif params.smoother == "chebyshev":
-        return chebyshev(level.A, level.inv_diag, level.eig_max, u, rhs, iters)
+        return chebyshev(level.A, level.inv_diag, level.eig_max, u, rhs,
+                         iters, u_is_zero=u_is_zero)
     raise ValueError(f"unknown smoother {params.smoother!r}")

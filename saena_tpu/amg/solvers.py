@@ -138,7 +138,7 @@ def _vcycle_iter(hierarchy, params, rhs, tol, max_iter: int):
 
     def body(c):
         i, u, rr, hist = c
-        u = vcycle(hierarchy, params, u, rhs)
+        u = vcycle(hierarchy, params, u, rhs, u_is_zero=False)
         r = A.matvec(u) - rhs
         rr = _dot(r, r)
         hist = hist.at[i + 1].set(jnp.sqrt(rr))

@@ -71,6 +71,10 @@ class Options:
     # ---- parallel policy (TPU-native analogs of shrink/repart) ----
     replicate_threshold: int = 5000    # coarse levels below this global size are replicated
                                        # (analog of processor shrinking to 1 rank, shrink.cpp:67)
+    shrink_comm_ratio: float = 0.5     # replicate a level when its worst-device
+                                       # halo/work ratio exceeds this (the
+                                       # decide_shrinking comm>2x-compute analog;
+                                       # 0 disables the cost model)
     halo_mode: str = "exchange"        # "exchange" (packed all_to_all) | "allgather"
     compress_halo: bool = False        # ZFP-analog: reduced-precision halo payloads
     halo_dtype: str = "bfloat16"       # payload dtype when compress_halo

@@ -223,21 +223,25 @@ class ShardedHierarchy:
 # ---------------------------------------------------------------------------
 
 
-def _psmooth(level, params: SolveParams, u, rhs, iters: int):
+def _psmooth(level, params: SolveParams, u, rhs, iters: int,
+             u_is_zero: bool = False):
     if iters <= 0:
         return u
     inv_d = level.inv_diag[0]
     if params.smoother == "jacobi":
-        return jacobi(level.A, inv_d, u, rhs, iters, params.jacobi_omega)
-    return chebyshev(level.A, inv_d, level.eig_max, u, rhs, iters)
+        return jacobi(level.A, inv_d, u, rhs, iters, params.jacobi_omega,
+                      u_is_zero=u_is_zero)
+    return chebyshev(level.A, inv_d, level.eig_max, u, rhs, iters,
+                     u_is_zero=u_is_zero)
 
 
-def sharded_vcycle(sh: ShardedHierarchy, params: SolveParams, u, rhs, lvl: int = 0):
+def sharded_vcycle(sh: ShardedHierarchy, params: SolveParams, u, rhs,
+                   lvl: int = 0, u_is_zero: bool = True):
     levels = sh.sharded
     level = levels[lvl]
     last_sharded = lvl == len(levels) - 1
 
-    u = _psmooth(level, params, u, rhs, params.preSmooth)
+    u = _psmooth(level, params, u, rhs, params.preSmooth, u_is_zero=u_is_zero)
     res = level.A.matvec(u) - rhs
 
     if not last_sharded:
@@ -579,6 +583,26 @@ def _col_sharded_restriction(
     )
 
 
+def halo_comm_work_ratio(A: sp.csr_matrix, split: np.ndarray) -> float:
+    """Static comm/compute cost model for one sharded level: the worst
+    device's halo volume (unique remote columns it must receive) relative
+    to its local nnz. The reference measures this with timed dummy matvecs
+    (decide_shrinking, saena_matrix_shrink.cpp:3-65: comm > 2x compute ->
+    shrink); counts are a deterministic stand-in with the same decision
+    structure."""
+    D = len(split) - 1
+    worst = 0.0
+    A = A.tocsr()
+    for d in range(D):
+        blk = A[split[d]: split[d + 1]]
+        if blk.nnz == 0:
+            continue
+        cols = np.unique(blk.indices)
+        remote = np.sum((cols < split[d]) | (cols >= split[d + 1]))
+        worst = max(worst, float(remote) / blk.nnz)
+    return worst
+
+
 def shard_hierarchy(
     info,                      # SetupInfo from amg.hierarchy.setup (host CSRs)
     opts: Options,
@@ -588,7 +612,9 @@ def shard_hierarchy(
     sharded_format: str = "auto",   # "auto" | "ell" | "bsr"
 ) -> ShardedHierarchy:
     """Partition the fine levels of a host hierarchy across the mesh; levels
-    with global size < opts.replicate_threshold form the replicated tail."""
+    with global size < opts.replicate_threshold — or whose halo volume
+    dominates local work (the decide_shrinking analog) — form the
+    replicated tail."""
     axis = mesh.axis_names[0]
     D = mesh.devices.size
     dtype = dtype or default_dtype()
@@ -596,13 +622,16 @@ def shard_hierarchy(
     csr_levels, Ps, Rs = info.csr_levels, info.Ps, info.Rs
     n_lv = len(csr_levels)
 
-    # how many leading levels stay sharded
+    # how many leading levels stay sharded: size threshold + cost model
     n_sharded = 0
     for l, A in enumerate(csr_levels):
-        if A.shape[0] >= opts.replicate_threshold and l < n_lv - 1:
-            n_sharded += 1
-        else:
+        if A.shape[0] < opts.replicate_threshold or l >= n_lv - 1:
             break
+        if l > 0 and opts.shrink_comm_ratio > 0:
+            ratio = halo_comm_work_ratio(A, nnz_balanced_split(A, D))
+            if ratio > opts.shrink_comm_ratio:
+                break  # comm-dominated: replicate from here down
+        n_sharded += 1
     n_sharded = max(1, n_sharded)  # always shard the finest level
 
     compress = opts.halo_dtype if opts.compress_halo else ""

@@ -4,16 +4,17 @@
 - vcycle_breakdown: Rtransfer/Ptransfer/smooth/coarsest/resid components
   (ref print_vcycle_time, saena_object.cpp:593-615; PROFILE_VCYCLE
   accumulators saena_object.h:432-445)
-- solve_profile: pCG phase split matvec/vcycle/dots
-  (ref solve_pCG_profile, solve.cpp:2804-3597)
 
-Each phase is jitted separately so wall timings isolate the stage; the same
-metric names are kept so reports diff against the reference's output.
+Timing method: each stage is chained inside a jitted fori_loop returning a
+scalar, and per-iteration cost is the slope between two loop lengths with
+VALUE-FETCH synchronization — on tunneled TPU deployments
+``block_until_ready`` does not synchronize and each fetch carries fixed RPC
+overhead, which the slope removes (see bench.py / CLAUDE.md).
 """
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass, field
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -23,14 +24,27 @@ from saena_tpu.amg.cycles import coarsest_solve, vcycle
 from saena_tpu.amg.smoothers import smooth
 
 
-def _time(fn, *args, n_warm=3, n_iter=20):
-    for _ in range(n_warm):
-        jax.block_until_ready(fn(*args))
-    t0 = time.perf_counter()
-    for _ in range(n_iter):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / n_iter
+@partial(jax.jit, static_argnames=("step", "n"))
+def _chain(step, x, n, *args):
+    def body(i, v):
+        w = step(v, *args)
+        return w / (1.0 + jnp.max(jnp.abs(w)))
+    return jnp.sum(jax.lax.fori_loop(0, n, body, x))
+
+
+def _slope(step, x, *args, n_short=3, n_long=23):
+    float(_chain(step, x, n_short, *args))
+    float(_chain(step, x, n_long, *args))
+    reps = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        float(_chain(step, x, n_short, *args))
+        ts = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(_chain(step, x, n_long, *args))
+        tl = time.perf_counter() - t0
+        reps.append((tl - ts) / (n_long - n_short))
+    return max(1e-9, float(np.median(reps)))
 
 
 def profile_matvecs(hierarchy, n_iter: int = 20) -> list[dict]:
@@ -38,8 +52,11 @@ def profile_matvecs(hierarchy, n_iter: int = 20) -> list[dict]:
     rows = []
     for lv in hierarchy.levels:
         x = jnp.ones(lv.n_pad, dtype=lv.dtype)
-        f = jax.jit(lambda v, A=lv.A: A.matvec(v))
-        dt = _time(f, x, n_iter=n_iter)
+
+        def step(v, A):
+            return A.matvec(v)
+
+        dt = _slope(step, x, lv.A)
         rows.append({
             "level": lv.lvl,
             "n": lv.n,
@@ -47,7 +64,7 @@ def profile_matvecs(hierarchy, n_iter: int = 20) -> list[dict]:
             "format": type(lv.A).__name__,
             "dtype": str(lv.dtype),
             "time_us": dt * 1e6,
-            "nnz_per_s": lv.A.nnz / dt if dt > 0 else float("inf"),
+            "nnz_per_s": lv.A.nnz / dt,
         })
     return rows
 
@@ -58,32 +75,46 @@ def vcycle_breakdown(hierarchy, params, rhs, n_iter: int = 20) -> dict:
     r = jnp.asarray(rhs, dtype=lv0.dtype)
 
     out = {}
-    sm = jax.jit(lambda u, b: smooth(lv0, params, u, b, params.preSmooth))
-    out["smooth"] = _time(sm, jnp.zeros_like(r), r, n_iter=n_iter)
-    resid = jax.jit(lambda u, b: lv0.A.matvec(u) - b)
-    out["resid"] = _time(resid, jnp.zeros_like(r), r, n_iter=n_iter)
+
+    def sm_step(v, lv, b):
+        return smooth(lv, params, v, b, params.preSmooth)
+
+    out["smooth"] = _slope(sm_step, r, lv0, r)
+
+    def resid_step(v, lv, b):
+        return lv.A.matvec(v) - b
+
+    out["resid"] = _slope(resid_step, r, lv0, r)
+
     if lv0.R is not None:
-        Rmv = jax.jit(lambda v: lv0.R.matvec(v))
-        out["Rtransfer"] = _time(Rmv, r, n_iter=n_iter)
-        rc = jnp.ones(hierarchy.levels[1].n_pad, dtype=hierarchy.levels[1].dtype)
-        Pmv = jax.jit(lambda v: lv0.P.matvec(v))
-        out["Ptransfer"] = _time(Pmv, rc, n_iter=n_iter)
+        def rp_step(v, lv):
+            rc = lv.R.matvec(v)
+            return lv.P.matvec(rc).astype(v.dtype)
+
+        out["Rtransfer+Ptransfer"] = _slope(rp_step, r, lv0)
+
     lvc = hierarchy.levels[-1]
     rc2 = jnp.ones(lvc.n_pad, dtype=lvc.dtype)
-    cs = jax.jit(lambda v: coarsest_solve(hierarchy, params, v))
-    out["coarsest"] = _time(cs, rc2, n_iter=n_iter)
-    full = jax.jit(lambda b: vcycle(hierarchy, params, jnp.zeros_like(b), b))
-    out["total"] = _time(full, r, n_iter=n_iter)
-    known = out["smooth"] + out["resid"] + out.get("Rtransfer", 0) + \
-        out.get("Ptransfer", 0) + out["coarsest"]
+
+    def cs_step(v, h):
+        return coarsest_solve(h, params, v).astype(v.dtype)
+
+    out["coarsest"] = _slope(cs_step, rc2, hierarchy)
+
+    def vc_step(v, h):
+        return vcycle(h, params, jnp.zeros_like(v), v)
+
+    out["total"] = _slope(vc_step, r, hierarchy)
+    known = out["smooth"] + out["resid"] + \
+        out.get("Rtransfer+Ptransfer", 0) + out["coarsest"]
     out["other"] = max(0.0, out["total"] - known)
     return out
 
 
 def format_breakdown(bd: dict) -> str:
     lines = ["vcycle component times (avg):"]
-    for k in ("smooth", "resid", "Rtransfer", "Ptransfer", "coarsest",
+    for k in ("smooth", "resid", "Rtransfer+Ptransfer", "coarsest",
               "other", "total"):
         if k in bd:
-            lines.append(f"  {k:<10} {bd[k] * 1e3:9.3f} ms")
+            lines.append(f"  {k:<20} {bd[k] * 1e3:9.3f} ms")
     return "\n".join(lines)

@@ -25,7 +25,7 @@ def test_vcycle_breakdown():
     rhs = np.zeros(hier.n_pad)
     rhs[: A.shape[0]] = 1.0
     bd = vcycle_breakdown(hier, params, rhs, n_iter=3)
-    for key in ("smooth", "resid", "Rtransfer", "Ptransfer", "coarsest",
+    for key in ("smooth", "resid", "Rtransfer+Ptransfer", "coarsest",
                 "other", "total"):
         assert key in bd
     assert "total" in format_breakdown(bd)
