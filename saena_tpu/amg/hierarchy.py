@@ -181,11 +181,18 @@ def default_dtype():
 
 
 def _transfer_from_csr(M: sp.csr_matrix, dtype):
-    """Device format for P/R transfer operators: BSR on TPU backends (the
-    per-element gather of ELL is the bottleneck there), ELL elsewhere."""
+    """Device format for P/R transfer operators: Pallas strip kernel, then
+    BSR on TPU backends (the per-element gather of ELL is the bottleneck
+    there), ELL elsewhere."""
     from saena_tpu.ops.formats import bsr_bytes_estimate, bsr_from_csr
+    from saena_tpu.ops.pallas_strip_spmv import (
+        strip_bytes_estimate, strip_from_csr, strip_supported)
 
     if jax.default_backend() != "cpu" and M.nnz > 0:
+        if strip_supported(M, dtype) and M.nnz >= 4096:
+            s_est = strip_bytes_estimate(M, dtype)
+            if s_est <= 768 * 1024 * 1024 and s_est <= 1024 * M.nnz:
+                return strip_from_csr(M, dtype=dtype)
         est = bsr_bytes_estimate(M, dtype)
         if est <= 768 * 1024 * 1024 and est <= 1024 * M.nnz:
             return bsr_from_csr(M, dtype=dtype)

@@ -404,6 +404,16 @@ def device_matrix_from_csr(
 
         prefer_bsr = jax.default_backend() not in ("cpu",)
     if prefer_bsr and A.nnz > 0:
+        # Pallas strip-gather kernel first: ~4x less traffic than BSR and
+        # 2x faster measured (pallas_strip_spmv.py); falls back to BSR when
+        # x doesn't fit VMEM, then to ELL
+        from saena_tpu.ops.pallas_strip_spmv import (
+            strip_bytes_estimate, strip_from_csr, strip_supported)
+
+        if strip_supported(A, dtype) and A.nnz >= 4096:
+            s_est = strip_bytes_estimate(A, dtype)
+            if s_est <= bsr_max_bytes and s_est <= bsr_max_bytes_per_nnz * A.nnz:
+                return strip_from_csr(A, dtype=dtype)
         est = bsr_bytes_estimate(A, dtype)
         if est <= bsr_max_bytes and est <= bsr_max_bytes_per_nnz * A.nnz:
             return bsr_from_csr(A, dtype=dtype)
