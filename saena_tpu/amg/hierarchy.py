@@ -259,6 +259,15 @@ def setup(
     A = A.tocsr().astype(np.float64)
     A.sort_indices()
 
+    diag0 = A.diagonal()
+    if np.any(diag0 == 0):
+        n_zero = int(np.sum(diag0 == 0))
+        raise ValueError(
+            f"matrix has {n_zero} zero diagonal entr{'y' if n_zero == 1 else 'ies'}: "
+            "AMG smoothing needs D^-1 (the reference divides by the diagonal "
+            "too, saena_matrix_setup.cpp inverse_diag). Graph Laplacians like "
+            "G55 are SpGEMM fixtures, not solve targets; shift or scale first.")
+
     inv_sq_diag = None
     if opts.scale:
         d = A.diagonal()

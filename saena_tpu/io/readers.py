@@ -87,11 +87,53 @@ def write_mtx(path: str, A: sp.spmatrix) -> None:
     scipy.io.mmwrite(path, A.tocoo())
 
 
+_SBIN_MAGIC = b"SAENATPU"
+
+
+def write_sbin(path: str, A: sp.spmatrix) -> None:
+    """Compressed matrix format: CSR with delta + Golomb-Rice coded index
+    streams (the GR_encoder applied to persistence; the reference applies it
+    to SpGEMM wire streams). Typically 2-4x smaller than .bin on stencil
+    matrices; values stored raw f64."""
+    from saena_tpu import native
+
+    A = A.tocsr()
+    A.sort_indices()
+    cols = A.indices.astype(np.uint32)
+    seg = A.indptr[:-1].astype(np.int64)
+    payload, k = native.gr_compress(native.delta_encode(cols, seg))
+    with open(path, "wb") as f:
+        f.write(_SBIN_MAGIC)
+        np.asarray([A.shape[0], A.shape[1], A.nnz, k, len(payload)],
+                   dtype="<i8").tofile(f)
+        A.indptr.astype("<i8").tofile(f)
+        f.write(payload)
+        A.data.astype("<f8").tofile(f)
+
+
+def read_sbin(path: str) -> sp.csr_matrix:
+    from saena_tpu import native
+
+    with open(path, "rb") as f:
+        if f.read(8) != _SBIN_MAGIC:
+            raise ValueError(f"{path}: not a saena_tpu .sbin file")
+        n, m, nnz, k, plen = np.fromfile(f, dtype="<i8", count=5)
+        indptr = np.fromfile(f, dtype="<i8", count=n + 1)
+        payload = f.read(int(plen))
+        data = np.fromfile(f, dtype="<f8", count=nnz)
+    seg = indptr[:-1]
+    cols = native.delta_decode(
+        native.gr_decompress(payload, int(nnz), int(k)), seg)
+    return sp.csr_matrix((data, cols.astype(np.int64), indptr), shape=(int(n), int(m)))
+
+
 def read_matrix(path: str) -> sp.csr_matrix:
     """Dispatch on extension, like the reference's read_file auto-detect."""
     ext = os.path.splitext(path)[1].lower()
     if ext == ".bin":
         return read_bin(path)
+    if ext == ".sbin":
+        return read_sbin(path)
     if ext in (".mtx", ".mm"):
         return read_mtx(path)
     raise ValueError(f"unsupported matrix file extension: {ext!r}")

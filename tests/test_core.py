@@ -108,3 +108,37 @@ def test_reference_bin_matches_mtx():
     Am = read_mtx(f"{REF_DATA}/FloridaCollection/G55.mtx")
     assert Ab.shape == Am.shape
     assert np.abs(Ab - Am).max() < 1e-12
+
+
+def test_sbin_roundtrip_and_compression(tmp_path):
+    """GR-compressed .sbin format: exact roundtrip, smaller than .bin."""
+    from saena_tpu.io.readers import read_sbin, write_sbin
+
+    A = laplacian3D(14, 14, 14)
+    p_sbin = str(tmp_path / "m.sbin")
+    p_bin = str(tmp_path / "m.bin")
+    write_sbin(p_sbin, A)
+    write_bin(p_bin, A)
+    B = read_sbin(p_sbin)
+    assert (A - B).nnz == 0
+    assert os.path.getsize(p_sbin) < os.path.getsize(p_bin)
+
+
+def test_sbin_magic_check(tmp_path):
+    from saena_tpu.io.readers import read_sbin
+
+    p = str(tmp_path / "junk.sbin")
+    open(p, "wb").write(b"NOTMAGIC" + b"\0" * 64)
+    with pytest.raises(ValueError, match="not a saena_tpu"):
+        read_sbin(p)
+
+
+def test_zero_diagonal_guard():
+    """G55-style zero-diagonal matrices must fail setup loudly, not NaN."""
+    from saena_tpu.config import Options
+    from saena_tpu.amg import hierarchy as H
+
+    A = laplacian2D(8, 8).tolil()
+    A[5, 5] = 0.0
+    with pytest.raises(ValueError, match="zero diagonal"):
+        H.setup(A.tocsr(), Options())
