@@ -274,6 +274,35 @@ class AMG:
         C.assemble()
         return C
 
+    def profile_matvecs(self, n_iter: int = 20):
+        """Per-level matvec timing (ref amg::profile_matvecs,
+        saena_object.cpp:618-697)."""
+        from saena_tpu.profiling import profile_matvecs
+
+        if self.hierarchy is None:
+            raise ValueError("set_matrix() first")
+        return profile_matvecs(self.hierarchy, n_iter=n_iter)
+
+    def profile_matvecs_breakdown(self, n_iter: int = 20):
+        """V-cycle component breakdown (ref profile_matvecs_breakdown +
+        print_vcycle_time)."""
+        import numpy as np
+
+        from saena_tpu.profiling import vcycle_breakdown
+
+        if self.hierarchy is None:
+            raise ValueError("set_matrix() first")
+        rhs = np.zeros(self.hierarchy.n_pad)
+        rhs[: self.hierarchy.n] = 1.0
+        return vcycle_breakdown(self.hierarchy, self.params, rhs, n_iter=n_iter)
+
+    def solve_pCG_profile(self, **kw):
+        """pCG solve + phase report (ref solve_pCG_profile, solve.cpp:2804):
+        returns (u, SolveResult, breakdown dict)."""
+        u, res = self.solve_pCG(**kw)
+        bd = self.profile_matvecs_breakdown(n_iter=5)
+        return u, res, bd
+
     def set_verbose(self, v: bool) -> None:
         self.verbose = v
 
