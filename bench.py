@@ -25,22 +25,29 @@ from functools import partial
 
 import numpy as np
 
-N_SHORT, N_LONG = 5, 105
+N_SHORT = 5
 
 
-def _slope(f, *args):
-    """Per-iteration seconds via value-fetch times of two loop lengths."""
+def _slope(f, *args, est_iter_s: float = 5e-4):
+    """Per-iteration seconds via value-fetch times of two loop lengths.
+
+    The long chain is sized from ``est_iter_s`` (a cheap per-iteration
+    estimate, e.g. the HBM-roofline time) so the long-minus-short delta is
+    ~60 ms of REAL device work — far above the tunnel's ms-scale RPC jitter.
+    A fixed 100-iteration delta underflows for fast kernels (a 3 us SpMV x
+    100 = 0.3 ms << jitter) and reports nonsense."""
+    n_long = N_SHORT + int(np.clip(0.06 / max(est_iter_s, 1e-9), 100, 50_000))
     float(f(*args, n=N_SHORT))   # compile + first-exec upload
-    float(f(*args, n=N_LONG))
+    float(f(*args, n=n_long))
     reps = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         float(f(*args, n=N_SHORT))
         t_s = time.perf_counter() - t0
         t0 = time.perf_counter()
-        float(f(*args, n=N_LONG))
+        float(f(*args, n=n_long))
         t_l = time.perf_counter() - t0
-        reps.append((t_l - t_s) / (N_LONG - N_SHORT))
+        reps.append((t_l - t_s) / (n_long - N_SHORT))
     return max(1e-9, float(np.median(reps)))
 
 
@@ -82,7 +89,8 @@ def main():
     rng = np.random.default_rng(0)
     x = jnp.asarray(np.pad(rng.standard_normal(n), (0, hier.n_pad - n)),
                     dtype=dtype)
-    spmv_s = _slope(mv_chain, A0dev, x)
+    est = A0dev.nnz * 12.0 / 819e9   # roofline estimate sizes the chain
+    spmv_s = _slope(mv_chain, A0dev, x, est_iter_s=est)
     nnz_per_s = A0dev.nnz / spmv_s
 
     # ---- pCG to 1e-8: iterations + solve wall time (value-fetch synced) ----

@@ -322,12 +322,18 @@ class AMG:
         self.opts.dense_thre = thre
         self.opts.dense_sz_thre = sz
 
-    def set_shrink_levels(self, *_a, **_k) -> None:
-        """Processor shrinking is subsumed by the replicate_threshold policy
-        on TPU (coarse levels are replicated across the mesh)."""
+    def set_shrink_levels(self, levels) -> None:
+        """Which levels may shrink their active device subset (ref
+        saena::amg::set_shrink_levels, saena.hpp:246). Applies to sharded
+        solves (parallel.shard_hierarchy); the serial path has no devices to
+        shrink. Empty = every level may shrink when the cost model says so."""
+        self.opts.shrink_levels = tuple(bool(b) for b in levels)
 
-    def set_shrink_values(self, *_a, **_k) -> None:
-        pass
+    def set_shrink_values(self, values) -> None:
+        """Per-level divisors of the active device count (ref
+        set_shrink_values / cpu_shrink_thre2): entering level l the mesh
+        subset shrinks by values[l] (0/1 = automatic decision)."""
+        self.opts.shrink_values = tuple(int(v) for v in values)
 
     def switch_repart(self, *_a, **_k) -> None:
         pass

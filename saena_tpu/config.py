@@ -75,6 +75,13 @@ class Options:
                                        # halo/work ratio exceeds this (the
                                        # decide_shrinking comm>2x-compute analog;
                                        # 0 disables the cost model)
+    shrink_levels: tuple = ()          # per-level bools: may level l shrink?
+                                       # (ref set_shrink_levels, saena.hpp:246;
+                                       # empty = every level may)
+    shrink_values: tuple = ()          # per-level divisors of the active device
+                                       # count entering level l (ref
+                                       # set_shrink_values / cpu_shrink_thre2;
+                                       # 0/1 or missing = decide automatically)
     halo_mode: str = "exchange"        # "exchange" (packed all_to_all) | "allgather"
     compress_halo: bool = False        # ZFP-analog: reduced-precision halo payloads
     halo_dtype: str = "bfloat16"       # payload dtype when compress_halo
@@ -140,6 +147,11 @@ class Options:
         unknown = set(data) - fields
         if unknown:
             raise ValueError(f"unknown option(s): {sorted(unknown)}")
+        # JSON has no tuples: coerce lists back for tuple-typed fields
+        tup = {f.name for f in dataclasses.fields(cls)
+               if isinstance(f.default, tuple)}
+        data = {k: tuple(v) if k in tup and isinstance(v, list) else v
+                for k, v in data.items()}
         return cls(**data)
 
     def to_dict(self) -> dict:

@@ -22,6 +22,22 @@ def equal_row_split(n: int, d: int) -> np.ndarray:
     return np.concatenate([[0], np.cumsum(counts)])
 
 
+def subset_split(A: sp.csr_matrix, d_total: int, d_active: int,
+                 repart_thre: float = 0.1) -> np.ndarray:
+    """nnz-balanced split over only the FIRST ``d_active`` devices, padded to
+    ``d_total + 1`` boundaries with empty trailing blocks. This is the
+    device-subset analog of processor shrinking (ref shrink_cpu,
+    saena_matrix_shrink.cpp:167: entries gather onto the leading ranks and
+    the rest go inactive) — inactive devices hold zero rows and contribute
+    zero work and zero halo volume."""
+    d_active = max(1, min(d_active, d_total))
+    inner = nnz_balanced_split(A, d_active, repart_thre)
+    if d_active == d_total:
+        return inner
+    pad = np.full(d_total - d_active, A.shape[0], dtype=np.int64)
+    return np.concatenate([inner, pad])
+
+
 def nnz_balanced_split(A: sp.csr_matrix, d: int, repart_thre: float = 0.1) -> np.ndarray:
     """Row split with ~equal nnz per device. Falls back to equal rows when
     density >= repart_thre (the reference's repart_row switch,

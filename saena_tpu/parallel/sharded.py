@@ -7,7 +7,11 @@ TPU-native re-design of the reference's distributed layer:
 - Halo-exchange SpMV with comm/compute overlap (saena_matrix_matvec.cpp:9-113)
   -> ``ShardedEll``: static gather-pack + one ``all_to_all`` + fused local
   gather-SpMV (see halo.py); XLA's async collectives provide the overlap.
-- Processor shrinking at coarse levels (saena_matrix_shrink.cpp) ->
+- Processor shrinking at coarse levels (saena_matrix_shrink.cpp) -> two
+  mechanisms: (a) device-SUBSET sharding — comm-dominated levels re-balance
+  their rows over a halved device subset (decide_shrinking :3-65 +
+  shrink_cpu :167 analog; manual control via Options.shrink_levels/values =
+  set_shrink_levels/values), inactive devices holding zero rows; and (b)
   ``replicate_threshold``: levels below it are REPLICATED across the mesh and
   reuse the serial Level kernels verbatim inside shard_map; the coarsest
   dense LU runs redundantly per device (the analog of shrinking to one rank
@@ -204,6 +208,8 @@ class ShardedHierarchy:
     trans_R: Optional[ShardedEll]     # column-sharded: last sharded -> first replicated
     trans_P: Optional[ShardedEll]     # row-sharded, direct vs replicated correction
     replicated: Optional[Hierarchy]   # serial tail (replicated on every device)
+    d_active: tuple = _static(default=())  # active device count per sharded level
+                                           # (the shrink trail; ref `active` flags)
 
     @property
     def n(self) -> int:
@@ -622,22 +628,54 @@ def shard_hierarchy(
     csr_levels, Ps, Rs = info.csr_levels, info.Ps, info.Rs
     n_lv = len(csr_levels)
 
-    # how many leading levels stay sharded: size threshold + cost model
+    # Per-level splits with device-subset SHRINKING (the processor-shrinking
+    # analog, saena_matrix_shrink.cpp): when a level's halo volume dominates
+    # its local work (decide_shrinking's comm > 2x compute test, :3-65), the
+    # active device count halves — the level's rows re-balance over the
+    # leading devices and the rest hold zero rows (shrink_cpu :167). Manual
+    # factors via opts.shrink_values/shrink_levels (ref set_shrink_*) take
+    # precedence. Shrinking all the way to one device ends the sharded
+    # prefix: the replicated tail IS the one-device analog (shrink_cpu_c).
+    def _may_shrink(l: int) -> bool:
+        return (not opts.shrink_levels
+                or (l < len(opts.shrink_levels) and bool(opts.shrink_levels[l])))
+
+    def _manual_factor(l: int):
+        if l < len(opts.shrink_values):
+            f = int(opts.shrink_values[l] or 0)
+            if f > 1:
+                return f
+        return None
+
+    from saena_tpu.parallel.partition import subset_split
+
     n_sharded = 0
+    splits = []
+    d_active = []
+    d_act = D
     for l, A in enumerate(csr_levels):
         if A.shape[0] < opts.replicate_threshold or l >= n_lv - 1:
             break
-        if l > 0 and opts.shrink_comm_ratio > 0:
-            ratio = halo_comm_work_ratio(A, nnz_balanced_split(A, D))
-            if ratio > opts.shrink_comm_ratio:
-                break  # comm-dominated: replicate from here down
+        if l > 0 and _may_shrink(l):
+            fac = _manual_factor(l)
+            if fac is not None:
+                d_act = max(1, d_act // fac)
+            elif opts.shrink_comm_ratio > 0:
+                while d_act > 1 and halo_comm_work_ratio(
+                        A, subset_split(A, D, d_act)) > opts.shrink_comm_ratio:
+                    d_act //= 2
+            if d_act <= 1:
+                break  # fully shrunk -> replicated tail from here down
+        splits.append(subset_split(A, D, d_act))
+        d_active.append(d_act)
         n_sharded += 1
-    n_sharded = max(1, n_sharded)  # always shard the finest level
+    if n_sharded == 0:  # always shard the finest level
+        n_sharded = 1
+        splits = [nnz_balanced_split(csr_levels[0], D)]
+        d_active = [D]
 
     compress = opts.halo_dtype if opts.compress_halo else ""
     mode = opts.halo_mode
-
-    splits = [nnz_balanced_split(csr_levels[l], D) for l in range(n_sharded)]
 
     from saena_tpu.amg.eig import eig_max_invdiag_host
 
@@ -710,6 +748,7 @@ def shard_hierarchy(
     return ShardedHierarchy(
         sharded=tuple(sharded_levels),
         trans_R=trans_R, trans_P=trans_P, replicated=replicated,
+        d_active=tuple(d_active),
     ), splits
 
 

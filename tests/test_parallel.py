@@ -221,6 +221,61 @@ def test_sharded_bsr_rectangular(mesh):
     np.testing.assert_allclose(got, Rm @ x, rtol=1e-12, atol=1e-12)
 
 
+def test_subset_split_shape():
+    from saena_tpu.parallel.partition import subset_split
+
+    A = laplacian3D(10, 10, 10)
+    s = subset_split(A, 8, 3)
+    assert len(s) == 9
+    assert s[-1] == s[3] == A.shape[0]          # devices 3..7 hold zero rows
+    assert all(s[d + 1] == s[d] for d in range(3, 8))
+    nnz_per = [A[s[d]: s[d + 1]].nnz for d in range(3)]
+    assert max(nnz_per) / (A.nnz / 3) < 1.5     # still nnz-balanced
+
+
+def test_sharded_pcg_manual_shrink(mesh):
+    """Device-subset shrinking (set_shrink_levels/values analog): coarse
+    levels ride a shrinking device subset, result matches serial exactly."""
+    A, rhs = _poisson_interior(20)
+    opts = Options(replicate_threshold=300, shrink_values=(0, 2, 2))
+    hier, info = H.setup(A, opts)
+    params = H.SolveParams.from_options(opts)
+    rp = np.pad(rhs, (0, hier.n_pad - A.shape[0]))
+    serial = S.solve_pCG(hier, rp, params=params, tol=1e-8, max_iter=100)
+
+    sh, splits = shard_hierarchy(info, opts, mesh)
+    assert len(sh.sharded) >= 2
+    assert sh.d_active[0] == D
+    assert sh.d_active[1] == D // 2             # manual factor applied
+    # inactive devices really hold zero rows
+    s1 = splits[1]
+    assert s1[D // 2] == s1[-1]
+    u, iters, r0, rfin, hist = sharded_solve_pCG(
+        sh, splits, rhs, mesh, params=params, tol=1e-8, max_iter=100)
+    assert iters == int(serial.iters)
+    u_serial = np.asarray(serial.u)[: A.shape[0]]
+    assert np.abs(u - u_serial).max() < 1e-10
+
+
+def test_sharded_pcg_auto_shrink(mesh):
+    """Cost-model (decide_shrinking analog) shrink: with an aggressive
+    comm-ratio threshold the coarse levels shed devices automatically and
+    the solve still matches serial."""
+    A, rhs = _poisson_interior(20)
+    opts = Options(replicate_threshold=300, shrink_comm_ratio=0.03)
+    hier, info = H.setup(A, opts)
+    params = H.SolveParams.from_options(opts)
+    rp = np.pad(rhs, (0, hier.n_pad - A.shape[0]))
+    serial = S.solve_pCG(hier, rp, params=params, tol=1e-8, max_iter=100)
+
+    sh, splits = shard_hierarchy(info, opts, mesh)
+    assert any(d < D for d in sh.d_active[1:]), sh.d_active
+    u, iters, r0, rfin, hist = sharded_solve_pCG(
+        sh, splits, rhs, mesh, params=params, tol=1e-8, max_iter=100)
+    assert iters == int(serial.iters)
+    assert np.linalg.norm(rhs - A @ u) / np.linalg.norm(rhs) < 1e-7
+
+
 def test_sharded_pcg_bsr_format(mesh):
     """Full sharded pCG with BSR operators forced on (CPU mesh)."""
     A, rhs = _poisson_interior(20)
