@@ -259,6 +259,12 @@ def setup(
     A = A.tocsr().astype(np.float64)
     A.sort_indices()
 
+    if opts.debug:
+        if not np.isfinite(A.data).all():
+            raise FloatingPointError("matrix values contain NaN/Inf")
+        if A.shape[0] != A.shape[1]:
+            raise ValueError(f"AMG needs a square matrix, got {A.shape}")
+
     diag0 = A.diagonal()
     if np.any(diag0 == 0):
         n_zero = int(np.sum(diag0 == 0))

@@ -179,6 +179,8 @@ class AMG:
         if self.hierarchy is None or self._rhs is None:
             raise ValueError("set_matrix() and set_rhs() first")
         rhs = self._rhs
+        if self.opts.debug and not np.isfinite(rhs).all():
+            raise FloatingPointError("rhs contains NaN/Inf")
         bound_sol = None
         if self._bound is not None:
             interior, bound, bound_diag, n_full = self._bound
@@ -196,6 +198,11 @@ class AMG:
             full[interior] = u
             full[bound] = bound_sol  # ref add_boundary_sol, saena_object.cpp:753
             u = full
+        if self.opts.debug and not np.isfinite(u).all():
+            raise FloatingPointError(
+                f"solution contains NaN/Inf after {int(res.iters)} iterations "
+                f"(init_res={float(res.init_res):.3e}); residual history: "
+                f"{np.asarray(res.history)[:int(res.iters) + 1]}")
         return u, res
 
     def solve_pCG(self, **kw):
@@ -295,6 +302,17 @@ class AMG:
         rhs = np.zeros(self.hierarchy.n_pad)
         rhs[: self.hierarchy.n] = 1.0
         return vcycle_breakdown(self.hierarchy, self.params, rhs, n_iter=n_iter)
+
+    def profile_trace(self, logdir: str, **kw):
+        """Run one pCG solve under a jax.profiler trace (the rebuild of the
+        reference's vendored `dollar` header profiler + print_time hooks,
+        SURVEY.md §5): writes an XPlane/TensorBoard trace of the compiled
+        solve to ``logdir`` and returns (u, SolveResult)."""
+        import jax
+
+        with jax.profiler.trace(logdir):
+            out = self.solve_pCG(**kw)
+        return out
 
     def solve_pCG_profile(self, **kw):
         """pCG solve + phase report (ref solve_pCG_profile, solve.cpp:2804):

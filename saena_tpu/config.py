@@ -89,6 +89,11 @@ class Options:
     # ---- misc ----
     remove_boundary: bool = False
     verbose: bool = False
+    debug: bool = False                # finite-ness/shape assertions around
+                                       # setup + solves (the __DEBUG1__/ASSERT
+                                       # analog, data_struct.h:72-83; JAX is
+                                       # functional so there are no races to
+                                       # sanitize — SURVEY.md §5)
     petsc_solver: str = ""             # kept for API parity; unused
 
     # ------------------------------------------------------------------

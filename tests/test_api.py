@@ -112,3 +112,36 @@ def test_matmat_api():
     C = solver.matmat(A, B)
     ref = (A.csr @ B.csr).tocsr()
     assert np.abs(C.csr - ref).max() < 1e-12
+
+
+def test_debug_mode():
+    """Options(debug=True): the ASSERT/__DEBUG1__ analog catches bad input."""
+    from saena_tpu.generators import laplacian3D
+
+    A = Matrix(); A.set_csr(laplacian3D(6, 6, 6)); A.assemble()
+    solver = AMG()
+    solver.set_matrix(A, Options(debug=True))
+    rhs = np.ones(A.get_num_rows())
+    rhs[3] = np.nan
+    solver.set_rhs(rhs)
+    with pytest.raises(FloatingPointError):
+        solver.solve_pCG()
+    # NaN in the matrix is rejected at setup
+    B = laplacian3D(6, 6, 6).tocsr()
+    B.data[0] = np.inf
+    M = Matrix(); M.set_csr(B); M.assemble()
+    with pytest.raises(FloatingPointError):
+        AMG().set_matrix(M, Options(debug=True))
+
+
+def test_profile_trace(tmp_path):
+    from saena_tpu.generators import laplacian3D
+
+    A = Matrix(); A.set_csr(laplacian3D(8, 8, 8)); A.assemble()
+    solver = AMG()
+    solver.set_matrix(A, Options())
+    solver.set_rhs(np.ones(A.get_num_rows()))
+    u, res = solver.profile_trace(str(tmp_path / "trace"))
+    assert float(res.rel_res) < 1e-8
+    import os
+    assert any("plugins" in d or f for d, _, f in os.walk(tmp_path))
