@@ -22,12 +22,16 @@ import dataclasses
 import numpy as np
 import scipy.sparse as sp
 
-TRI, QUAD, TET, HEX, PRISM = 0, 1, 2, 3, 4
+TRI, QUAD, TET, HEX, PRISM, SEG = 0, 1, 2, 3, 4, 5
 
 
 def element_type(n_dof: int, order: int) -> int:
-    """Infer element type from the modal DOF count (ref :241-257)."""
+    """Infer element type from the modal DOF count (ref :241-257; SEG added
+    here for 1-D modal units — the layout of the bundled Helmholtz2D
+    matrices, see io/nektar.py)."""
     op1 = order + 1
+    if order >= 1 and n_dof == op1:
+        return SEG
     if n_dof == op1 * op1:
         return QUAD
     if n_dof == op1 * op1 * op1:
@@ -47,7 +51,9 @@ def coarse_dof_positions(order: int, next_order: int, etype: int) -> np.ndarray:
     next_order (ref next_p_level_random :221-341)."""
     op1 = order + 1
     pos = []
-    if etype == QUAD:
+    if etype == SEG:
+        pos = list(range(next_order + 1))
+    elif etype == QUAD:
         for i in range(next_order + 1):
             for j in range(next_order + 1):
                 pos.append(op1 * i + j)
@@ -180,5 +186,50 @@ def pcoarsen_plevels(elem_maps, order: int, order_dif, bdydof: int = 0,
         cur_bdy = step.bdydof
         cur_order = next_order
         n_rows = P.shape[1]
+        lvl += 1
+    return Ps
+
+
+def detect_modal_blocks(A, nummodes: int) -> int:
+    """Verify A has the per-unit modal block layout (n_units consecutive
+    groups of ``nummodes`` rows, every coupled unit pair a fully dense
+    nummodes x nummodes block) and return n_units. Raises if the layout
+    does not hold — callers should fall back to plain h-coarsening then."""
+    n = A.shape[0]
+    if nummodes < 2 or n % nummodes:
+        raise ValueError(f"n={n} not a multiple of nummodes={nummodes}")
+    n_units = n // nummodes
+    pat = (abs(A.tocsr()) > 0).astype(np.int8).toarray()
+    blk = pat.reshape(n_units, nummodes, n_units, nummodes).sum(axis=(1, 3))
+    if not np.isin(blk, (0, nummodes * nummodes)).all():
+        raise ValueError("matrix blocks are not dense per modal unit")
+    return int(n_units)
+
+
+def modal_block_plevels(n_units: int, nummodes: int, order_dif=None):
+    """p-level injections for the per-unit modal layout: unit u owns rows
+    [u*nummodes, (u+1)*nummodes) ordered low->high mode, and order p -> p'
+    keeps each unit's first p'+1 modes. This is the 1-D SEG specialization
+    of next_p_level_random (ref :221-341) expressed directly; equivalent to
+    pcoarsen_plevels over SEG element maps but without the python per-element
+    loop. order_dif defaults to [1, 1, ...] (drop one order per level, ref
+    pcoarsen loop :12-218); the chain stops at order 1 (two modes), after
+    which h-coarsening takes over."""
+    order = nummodes - 1
+    if order_dif is None:
+        order_dif = [1] * (order - 1)
+    Ps = []
+    cur = order
+    lvl = 0
+    while cur > 1:
+        dif = order_dif[lvl] if lvl < len(order_dif) else order_dif[-1]
+        nxt = max(1, cur - dif)
+        pf, pc = cur + 1, nxt + 1
+        rows = (np.arange(n_units)[:, None] * pf + np.arange(pc)).ravel()
+        P = sp.csr_matrix(
+            (np.ones(rows.size), (rows, np.arange(rows.size))),
+            shape=(n_units * pf, n_units * pc))
+        Ps.append(P)
+        cur = nxt
         lvl += 1
     return Ps

@@ -16,9 +16,10 @@ from saena_tpu.config import Options
 from saena_tpu.amg import hierarchy as H
 from saena_tpu.amg import solvers as S
 from saena_tpu.amg.pcoarsen import (
-    QUAD, TRI,
+    QUAD, SEG, TRI,
     coarse_dof_positions,
     element_type,
+    modal_block_plevels,
     pcoarsen_plevels,
     pcoarsen_step,
 )
@@ -31,6 +32,8 @@ def test_element_type_inference():
     assert element_type(6, 2) == TRI         # (2+1)(2+2)/2
     assert element_type(27, 2) == 3          # HEX
     assert element_type(10, 2) == 2          # TET (p=2): 10 dofs
+    assert element_type(3, 2) == SEG         # 1-D modal unit: order+1
+    assert element_type(3, 1) == TRI         # at order 1, 3 dofs = TRI
 
 
 def test_quad_selection_order2_to_1():
@@ -122,3 +125,82 @@ def test_helmholtz_matrices_solve(p):
                       params=params, tol=1e-8, max_iter=300)
     u = np.asarray(res.u)[:n]
     assert np.linalg.norm(rhs - A @ u) / np.linalg.norm(rhs) < 1e-6
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_HELM), reason="reference data absent")
+def test_nektar_session_reader():
+    """Decode the bundled Nektar session: mesh counts, Euler characteristic,
+    boundary composites, and the derived modal-unit count that matches the
+    bundled matrix sizes (n = interior_edges * nummodes)."""
+    from saena_tpu.io.nektar import read_nektar
+    from saena_tpu.io.readers import read_bin
+
+    mesh = read_nektar(f"{REF_HELM}/Helmholtz2D_CG_P3_Modes_curved_tri.xml")
+    V, E, T = len(mesh.vert_ids), len(mesh.edge_ids), len(mesh.tri_ids)
+    assert (V, E, T) == (28, 63, 36)
+    assert V - E + T == 1                      # triangulated disk
+    assert mesh.dim == 2 and mesh.basis_type == "MODIFIED"
+    assert mesh.nummodes == 3                  # "P3" files = NUMMODES 3
+    assert mesh.edges.max() < V and mesh.tris.max() < E
+    nb = mesh.boundary_edges.size
+    assert nb == 21 and mesh.interior_edges.size == E - nb == 42
+    for p in (2, 3, 4, 5):
+        A = read_bin(f"{REF_HELM}/Helmholtz2D_CG_P{p}_Modes_curved_tri.bin")
+        assert A.shape[0] == mesh.interior_edges.size * p
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_HELM), reason="reference data absent")
+def test_helmholtz_modal_block_detection():
+    """Every bundled matrix is exactly 42 modal units with dense p x p
+    inter-unit blocks — the layout modal_block_plevels coarsens."""
+    from saena_tpu.amg.pcoarsen import detect_modal_blocks
+    from saena_tpu.io.readers import read_bin
+
+    for p in (2, 3, 4, 5):
+        A = read_bin(f"{REF_HELM}/Helmholtz2D_CG_P{p}_Modes_curved_tri.bin")
+        assert detect_modal_blocks(A, p) == 42
+    with pytest.raises(ValueError):
+        detect_modal_blocks(A, 4)              # 210 not divisible by 4
+
+
+def test_modal_block_plevels_matches_seg_maps():
+    """modal_block_plevels == pcoarsen_plevels over SEG element maps."""
+    n_units, p = 5, 4
+    Ps_fast = modal_block_plevels(n_units, p)
+    # SEG maps: unit u owns 1-based nodes [u*p+1 .. (u+1)*p], bdydof=0
+    maps = [np.arange(u * p + 1, (u + 1) * p + 1) for u in range(n_units)]
+    Ps_ref = pcoarsen_plevels(maps, order=p - 1, order_dif=[1, 1],
+                              bdydof=0, n_fine=n_units * p)
+    assert len(Ps_fast) == len(Ps_ref) == 2
+    for Pf, Pr in zip(Ps_fast, Ps_ref):
+        assert (Pf != Pr).nnz == 0
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_HELM), reason="reference data absent")
+def test_helmholtz_p_coarsening_solve():
+    """Config 4: the TRUE p-coarsening path on the bundled P5 matrix —
+    modal injection chain P5->P4->P3->P2, then h-coarsening; p-multigrid
+    must converge at least as fast as h-only (measured: 12 vs 19 iters)."""
+    from saena_tpu.amg.pcoarsen import modal_block_plevels
+    from saena_tpu.io.readers import read_bin
+
+    A = read_bin(f"{REF_HELM}/Helmholtz2D_CG_P5_Modes_curved_tri.bin")
+    n = A.shape[0]
+    rhs = A @ np.ones(n)
+    opts = Options(least_row_threshold=20)
+    params = H.SolveParams.from_options(opts)
+
+    Ps = modal_block_plevels(42, 5)
+    assert [P.shape for P in Ps] == [(210, 168), (168, 126), (126, 84)]
+    hier, info = H.setup(A, opts, p_levels=Ps)
+    assert info.coarsen_kinds[:3] == ["p", "p", "p"]
+    assert "h" in info.coarsen_kinds[3:]
+    res = S.solve_pCG(hier, np.pad(rhs, (0, hier.n_pad - n)),
+                      params=params, tol=1e-8, max_iter=200)
+    u = np.asarray(res.u)[:n]
+    assert np.linalg.norm(rhs - A @ u) / np.linalg.norm(rhs) < 1e-7
+
+    hier_h, _ = H.setup(A, opts)
+    res_h = S.solve_pCG(hier_h, np.pad(rhs, (0, hier_h.n_pad - n)),
+                        params=params, tol=1e-8, max_iter=200)
+    assert int(res.iters) <= int(res_h.iters)
