@@ -6,6 +6,9 @@ workload; V-cycle wall time and pCG iterations/solve-time to 1e-8 ride along
 in "detail". The reference publishes no numbers ("published": {}), so
 vs_baseline is reported against an HBM-roofline model: ideal f32 SpMV
 streams ~12 bytes/nnz, so roofline = HBM_BW / 12 (v5e: 819 GB/s).
+vs_baseline > 1 is possible for stencil operators: the DIA Pallas kernel
+(ops/pallas_dia_spmv.py) stores ~4.6 bytes/nnz and keeps x in VMEM, so it
+beats the 12-byte generic-sparse stream model (measured 144 Gnnz/s = 2.1x).
 
 Timing method: kernels are chained inside one jitted fori_loop returning a
 SCALAR, and the per-iteration cost is the (t_long - t_short) slope of the
@@ -78,18 +81,22 @@ def main():
     params = H.SolveParams.from_options(opts)
 
     # ---- SpMV nnz/s (hot kernel, fine level), dispatch-free slope ----
-    # chained iterations stay bounded via a STATIC 1/||A||_inf scale (a
-    # data-dependent max-normalize would add reduce kernels per iteration
-    # and distort the per-matvec time)
+    # chained iterations stay bounded by scaling the OPERATOR once by
+    # 1/||A||_inf (scaling every float leaf of the format pytree scales the
+    # stored values); the chain is then pure matvecs — no extra elementwise
+    # pass distorting the per-matvec time
     inv_norm = float(1.0 / np.abs(A).sum(axis=1).max())
 
     @partial(jax.jit, static_argnames=("n",))
     def mv_chain(Amat, x, n):
         def body(i, v):
-            return Amat.matvec(v) * inv_norm
+            return Amat.matvec(v)
         return jnp.sum(jax.lax.fori_loop(0, n, body, x))
 
-    A0dev = hier.levels[0].A
+    A0dev = jax.tree.map(
+        lambda leaf: leaf * inv_norm
+        if jnp.issubdtype(leaf.dtype, jnp.floating) else leaf,
+        hier.levels[0].A)
     rng = np.random.default_rng(0)
     x = jnp.asarray(np.pad(rng.standard_normal(n), (0, hier.n_pad - n)),
                     dtype=dtype)

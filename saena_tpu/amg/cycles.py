@@ -70,8 +70,13 @@ def vcycle(hierarchy: Hierarchy, params: SolveParams, u, rhs, lvl: int = 0,
 
     # 1. pre-smooth
     u = smooth(level, params, u, rhs, params.preSmooth, u_is_zero=u_is_zero)
-    # 2. residual (reference sign: res = A u - rhs)
-    res = level.A.matvec(u) - rhs
+    # 2. residual (reference sign: res = A u - rhs); fused single-pass
+    # kernel where the format has one (DiaMatrix on TPU)
+    fu = getattr(level.A, "fused_update", None)
+    if fu is not None:
+        res = fu(u, rhs, c=-1.0, add_x=False)
+    else:
+        res = level.A.matvec(u) - rhs
     # 3. restrict
     res_c = level.R.matvec(res)
     # 4. recurse from a zero coarse iterate

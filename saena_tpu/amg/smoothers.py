@@ -10,6 +10,17 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+def _update(A, dinv, u, rhs, c: float, add_x: bool = True):
+    """[u +] c * dinv * (rhs - A u). Formats with a fused single-pass
+    kernel (DiaMatrix on TPU) take it; others do the XLA expression,
+    which XLA fuses into the matvec epilogue anyway."""
+    fu = getattr(A, "fused_update", None)
+    if fu is not None:
+        return fu(u, rhs, dinv=dinv, c=c, add_x=add_x)
+    z = dinv * (rhs - A.matvec(u)) * c
+    return u + z if add_x else z
+
+
 def jacobi(A, inv_diag, u, rhs, iters: int, omega: float = 2.0 / 3.0,
            u_is_zero: bool = False):
     """u <- u - omega D^{-1} (A u - rhs), `iters` times.
@@ -18,7 +29,7 @@ def jacobi(A, inv_diag, u, rhs, iters: int, omega: float = 2.0 / 3.0,
         if k == 0 and u_is_zero:
             u = omega * inv_diag * rhs
         else:
-            u = u - omega * inv_diag * (A.matvec(u) - rhs)
+            u = _update(A, inv_diag, u, rhs, float(omega))
     return u
 
 
@@ -41,14 +52,14 @@ def chebyshev(A, inv_diag, eig_max: float, u, rhs, iters: int,
         d = inv_diag * rhs * (1.0 / theta)
         u = d
     else:
-        d = inv_diag * (rhs - A.matvec(u)) * (1.0 / theta)
+        d = _update(A, inv_diag, u, rhs, 1.0 / theta, add_x=False)
         u = u + d
     for _ in range(1, iters):
         rhokp1 = 1.0 / (2.0 * s1 - rhok)
         d1 = rhokp1 * rhok
         d2 = 2.0 * rhokp1 / delta
         rhok = rhokp1
-        res = inv_diag * (rhs - A.matvec(u)) * d2
+        res = _update(A, inv_diag, u, rhs, float(d2), add_x=False)
         d = d1 * d + res
         u = u + d
     return u

@@ -84,7 +84,9 @@ class Options:
                                        # 0/1 or missing = decide automatically)
     halo_mode: str = "exchange"        # "exchange" (packed all_to_all) | "allgather"
     compress_halo: bool = False        # ZFP-analog: reduced-precision halo payloads
-    halo_dtype: str = "bfloat16"       # payload dtype when compress_halo
+    halo_dtype: str = "bfloat16"       # payload dtype when compress_halo:
+                                       # "bfloat16"|"float16" (rate 16) or
+                                       # "float8_e4m3fn" (rate 8, ZFP analog)
 
     # ---- misc ----
     remove_boundary: bool = False

@@ -112,6 +112,38 @@ class DiaMatrix:
 
     def matvec(self, x: jax.Array) -> jax.Array:
         x = x.astype(self.dtype)
+        # TPU fast path: single-pass Pallas kernel, x resident in VMEM
+        # (~36 B/row vs the XLA lowering's ~60+; see pallas_dia_spmv.py)
+        from saena_tpu.ops.pallas_dia_spmv import dia_spmv, dia_supported
+
+        if jax.default_backend() == "tpu" and \
+                dia_supported(self.offsets, self.n_pad, self.dtype):
+            return dia_spmv(self.data, x, self.offsets)
+        return self.matvec_xla(x)
+
+    def fused_update(self, x: jax.Array, rhs: jax.Array, dinv=None,
+                     c: float = 1.0, add_x: bool = True) -> jax.Array:
+        """y = [x +] c * [dinv *] (rhs - A@x) in ONE pass — the smoother /
+        residual building block (see pallas_dia_spmv.dia_fused_update)."""
+        from saena_tpu.ops.pallas_dia_spmv import (
+            dia_fused_update, dia_supported)
+
+        x = x.astype(self.dtype)
+        if jax.default_backend() == "tpu" and \
+                dia_supported(self.offsets, self.n_pad, self.dtype):
+            return dia_fused_update(
+                self.data, x, rhs.astype(self.dtype), self.offsets,
+                dinv=None if dinv is None else dinv.astype(self.dtype),
+                c=c, add_x=add_x)
+        z = rhs.astype(self.dtype) - self.matvec(x)
+        if dinv is not None:
+            z = z * dinv.astype(self.dtype)
+        if c != 1.0:
+            z = z * c
+        return x + z if add_x else z
+
+    def matvec_xla(self, x: jax.Array) -> jax.Array:
+        x = x.astype(self.dtype)
         np_ = self.n_pad
         lo = max(0, -min(self.offsets))
         hi = max(0, max(self.offsets))

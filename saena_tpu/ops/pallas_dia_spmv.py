@@ -1,0 +1,172 @@
+"""Pallas DIA (stencil) SpMV — single-pass, x resident in VMEM.
+
+The XLA lowering of the DIA matvec (sum of dynamically-sliced shifted
+products, formats.py:DiaMatrix.matvec) re-streams the shifted x slice from
+HBM for every diagonal: ~(2*ndiag + 2) * 4 bytes/row plus a padded copy of
+x, measured 33.3 us on the 48^3 Poisson fine level (7 diagonals, n=97k,
+~21% of the v5e HBM roofline). This kernel brings the traffic down to the
+information-theoretic minimum for DIA:
+
+    read data (ndiag * 4 B/row) + read x once (4 B/row) + write y (4 B/row)
+
+by keeping x entirely in VMEM across the row-tile grid and serving every
+shifted view from a halo-padded VMEM scratch built once at grid step 0
+(a VMEM->VMEM copy — no HBM pad traffic). A shift by ``off`` elements on
+the (rows, 128) 2-D layout decomposes as q, r = divmod(off, 128): rows
+move by q and lanes rotate by r across adjacent rows, expressed as two
+static-lane-width slices concatenated on the lane axis — all VPU work,
+no gathers (the reference's hot loop is the CSR local multiply,
+saena_matrix_matvec.cpp:68-80; DIA is its gather-free TPU replacement
+for stencil operators).
+
+Applicability: square DIA matrices whose x fits VMEM next to the data
+tiles (n up to ~1.4M rows at f32) — covers every fine-level stencil the
+generators produce. Falls back to the XLA path otherwise (dia_supported).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+TILE_ROWS = 256            # rows of y per grid step (multiple of 8)
+VMEM_BUDGET = 12 * 2**20   # leave headroom under the ~16 MB core VMEM
+
+
+def _plan(offsets, n_pad):
+    """Static geometry: (R, grid, lo128, Rp) for the halo-padded layout."""
+    R = n_pad // LANES
+    lo = max(0, -min(offsets))
+    hi = max(0, max(offsets))
+    lo128 = -(-lo // LANES)
+    hi128 = -(-hi // LANES)
+    grid = -(-R // TILE_ROWS)
+    # worst in-kernel read: base + q + TILE_ROWS rows, base <= (grid-1)*TR,
+    # q <= lo128 + hi128  =>  Rp covers it with one spare row
+    Rp = lo128 + grid * TILE_ROWS + hi128 + 1
+    return R, grid, lo128, Rp
+
+
+def dia_supported(offsets, n_pad, dtype) -> bool:
+    """Trace-time gate: f32 only (min tile (8,128)) and VMEM-resident x."""
+    if jnp.dtype(dtype) != jnp.float32 or n_pad % LANES:
+        return False
+    R, grid, lo128, Rp = _plan(offsets, n_pad)
+    ndiag = len(offsets)
+    need = 4 * (R * LANES + Rp * LANES                 # x + halo scratch
+                + 2 * (ndiag + 1) * TILE_ROWS * LANES)  # dbl-buffered tiles
+    return need <= VMEM_BUDGET
+
+
+def _kernel(*refs, offsets, R, lo128, c, add_x, has_rhs, has_dinv):
+    # refs: x, data, [rhs], [dinv], y, xp  (optional tiles in that order)
+    x_ref, data_ref = refs[0], refs[1]
+    pos = 2
+    rhs_ref = dinv_ref = None
+    if has_rhs:
+        rhs_ref = refs[pos]; pos += 1
+    if has_dinv:
+        dinv_ref = refs[pos]; pos += 1
+    y_ref, xp = refs[pos], refs[pos + 1]
+
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        xp[0:lo128, :] = jnp.zeros((lo128, LANES), x_ref.dtype)
+        xp[pl.ds(lo128, R), :] = x_ref[:]
+        tail = xp.shape[0] - lo128 - R
+        xp[pl.ds(lo128 + R, tail), :] = jnp.zeros((tail, LANES), x_ref.dtype)
+
+    base = i * TILE_ROWS
+    acc = jnp.zeros((TILE_ROWS, LANES), jnp.float32)
+    for k, off in enumerate(offsets):
+        q, r = divmod(lo128 * LANES + off, LANES)
+        if r == 0:
+            sh = xp[pl.ds(base + q, TILE_ROWS), :]
+        else:
+            left = xp[pl.ds(base + q, TILE_ROWS), r:]
+            right = xp[pl.ds(base + q + 1, TILE_ROWS), :r]
+            sh = jnp.concatenate([left, right], axis=1)
+        acc = acc + data_ref[k] * sh
+
+    if has_rhs:                         # z = c * [dinv *] (rhs - A x)
+        z = rhs_ref[:] - acc
+        if has_dinv:
+            z = z * dinv_ref[:]
+        if c != 1.0:
+            z = z * c
+        if add_x:                       # smoother update: x rows are already
+            # resident in the halo scratch — the add costs no HBM traffic
+            z = z + xp[pl.ds(base + lo128, TILE_ROWS), :]
+        y_ref[:] = z
+    else:
+        y_ref[:] = acc
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("offsets", "c", "add_x", "interpret"))
+def _dia_call(data, x, offsets, rhs=None, dinv=None, c=1.0, add_x=False,
+              interpret=False):
+    ndiag, n_pad = data.shape
+    R, grid, lo128, Rp = _plan(offsets, n_pad)
+    tile = lambda: pl.BlockSpec((TILE_ROWS, LANES), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((R, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((ndiag, TILE_ROWS, LANES), lambda i: (0, i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [x.reshape(R, LANES), data.reshape(ndiag, R, LANES)]
+    if rhs is not None:
+        in_specs.append(tile()); args.append(rhs.reshape(R, LANES))
+    if dinv is not None:
+        in_specs.append(tile()); args.append(dinv.reshape(R, LANES))
+    y2d = pl.pallas_call(
+        functools.partial(
+            _kernel, offsets=tuple(offsets), R=R, lo128=lo128, c=c,
+            add_x=add_x, has_rhs=rhs is not None, has_dinv=dinv is not None),
+        out_shape=jax.ShapeDtypeStruct((R, LANES), jnp.float32),
+        grid=(grid,),
+        in_specs=in_specs,
+        out_specs=tile(),
+        scratch_shapes=[pltpu.VMEM((Rp, LANES), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * ndiag * n_pad,
+            bytes_accessed=(ndiag + 2) * n_pad * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*args)
+    return y2d.reshape(n_pad)
+
+
+def dia_spmv(data: jax.Array, x: jax.Array, offsets: tuple,
+             interpret: bool = False) -> jax.Array:
+    """y = A @ x for DIA storage data[k, i] = A[i, i + offsets[k]].
+
+    data: (ndiag, n_pad) f32, zero where out of range; x: (n_pad,) f32
+    zero-padded. Preserves zero padding (padded rows have all-zero data).
+    """
+    return _dia_call(data, x, tuple(offsets), interpret=interpret)
+
+
+def dia_fused_update(data, x, rhs, offsets, dinv=None, c: float = 1.0,
+                     add_x: bool = True, interpret: bool = False):
+    """One-kernel smoother/residual step:
+
+        y = [x +] c * [dinv *] (rhs - A @ x)
+
+    add_x=True, dinv, c=omega  -> a full Jacobi sweep (saena_matrix.cpp:1044)
+    add_x=False, dinv, c=d2    -> the Chebyshev scaled residual (:1074)
+    add_x=False, no dinv, c=1  -> plain residual rhs - A u
+
+    The x-add reads the rows from the VMEM halo scratch, so the whole
+    update costs the same HBM traffic as one matvec plus the rhs/dinv
+    streams — one pass instead of two or three."""
+    return _dia_call(data, x, tuple(offsets), rhs=rhs, dinv=dinv, c=float(c),
+                     add_x=add_x, interpret=interpret)

@@ -57,7 +57,9 @@ class HaloPlan:
     max_send: int = _static()
     mode: str = _static(default="exchange")   # exchange | allgather | direct | none
     axis: str = _static(default="d")
-    compress: str = _static(default="")       # "", "bfloat16", "float16"
+    compress: str = _static(default="")   # "", "bfloat16", "float16",
+                                          # "float8_e4m3fn" (rate-8 fixed —
+                                          # ZFP-style, saena_matrix_zfp.cpp)
 
     def extend_chunks(self, x_loc: jax.Array, exact: bool = False) -> jax.Array:
         """Chunk-granular halo: x_loc (n_loc_pad,) viewed as 128-wide chunks;

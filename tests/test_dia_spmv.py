@@ -1,0 +1,97 @@
+"""Pallas DIA SpMV (interpret mode on CPU) vs scipy."""
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from saena_tpu.generators import laplacian3D, band_matrix
+from saena_tpu.core.coo import remove_boundary_nodes
+from saena_tpu.ops.formats import dia_from_csr
+from saena_tpu.ops.pallas_dia_spmv import dia_spmv, dia_supported
+
+
+def _check(A):
+    D = dia_from_csr(A)
+    assert dia_supported(D.offsets, D.n_pad, D.dtype)
+    rng = np.random.default_rng(0)
+    x = np.pad(rng.standard_normal(A.shape[0]), (0, D.n_pad - A.shape[0]))
+    y = np.asarray(dia_spmv(D.data, x.astype(np.float32), D.offsets,
+                            interpret=True))
+    ref = A @ x[: A.shape[0]]
+    np.testing.assert_allclose(y[: A.shape[0]], ref, rtol=2e-5, atol=2e-5)
+    assert (y[A.shape[0]:] == 0).all()      # zero padding preserved
+
+
+def test_poisson_interior():
+    A0 = laplacian3D(10, 10, 10)
+    A, *_ = remove_boundary_nodes(A0, np.ones(A0.shape[0]))
+    _check(A)
+
+
+def test_band():
+    _check(band_matrix(900, 3))
+
+
+def test_wide_offsets_cross_tile():
+    # offsets straddling multiple 128-lane rows and the 256-row tile
+    n = 2000
+    diags = [0, 1, -1, 300, -300, 1500, -1500]
+    A = sp.diags([np.random.default_rng(k).standard_normal(n - abs(d))
+                  for k, d in enumerate(diags)], diags, format="csr")
+    _check(A)
+
+
+def test_unsupported_dtypes_and_sizes():
+    import jax.numpy as jnp
+    assert not dia_supported((0, 1), 128, jnp.bfloat16)
+    assert not dia_supported((0, 1), 128 * 40000, jnp.float32)  # VMEM blowout
+
+
+def test_fused_update_variants():
+    import jax.numpy as jnp
+    from saena_tpu.ops.pallas_dia_spmv import dia_fused_update
+
+    A0 = laplacian3D(8, 8, 8)
+    A, *_ = remove_boundary_nodes(A0, np.ones(A0.shape[0]))
+    D = dia_from_csr(A)
+    n = A.shape[0]
+    rng = np.random.default_rng(1)
+    x = np.pad(rng.standard_normal(n), (0, D.n_pad - n)).astype(np.float32)
+    rhs = np.pad(rng.standard_normal(n), (0, D.n_pad - n)).astype(np.float32)
+    dinv = np.pad(1.0 / A.diagonal(), (0, D.n_pad - n)).astype(np.float32)
+
+    Ax = A @ x[:n]
+    # jacobi sweep: x + w*dinv*(rhs - Ax)
+    y = np.asarray(dia_fused_update(D.data, x, rhs, D.offsets,
+                                    dinv=dinv, c=2/3, interpret=True))
+    ref = x[:n] + (2/3) * dinv[:n] * (rhs[:n] - Ax)
+    np.testing.assert_allclose(y[:n], ref, rtol=2e-5, atol=2e-5)
+    assert (y[n:] == 0).all()
+    # reference-sign residual: -(rhs - Ax) = Ax - rhs
+    y = np.asarray(dia_fused_update(D.data, x, rhs, D.offsets,
+                                    c=-1.0, add_x=False, interpret=True))
+    np.testing.assert_allclose(y[:n], Ax - rhs[:n], rtol=2e-5, atol=2e-5)
+    # chebyshev scaled residual: c*dinv*(rhs - Ax)
+    y = np.asarray(dia_fused_update(D.data, x, rhs, D.offsets, dinv=dinv,
+                                    c=0.37, add_x=False, interpret=True))
+    np.testing.assert_allclose(y[:n], 0.37 * dinv[:n] * (rhs[:n] - Ax),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_dia_matrix_fused_update_fallback():
+    """DiaMatrix.fused_update on CPU (XLA fallback) equals the expression."""
+    import jax.numpy as jnp
+    A0 = laplacian3D(6, 6, 6)
+    A, *_ = remove_boundary_nodes(A0, np.ones(A0.shape[0]))
+    D = dia_from_csr(A)
+    n = A.shape[0]
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(np.pad(rng.standard_normal(n), (0, D.n_pad - n)),
+                    jnp.float32)
+    rhs = jnp.asarray(np.pad(rng.standard_normal(n), (0, D.n_pad - n)),
+                      jnp.float32)
+    dinv = jnp.asarray(np.pad(1.0 / A.diagonal(), (0, D.n_pad - n)),
+                       jnp.float32)
+    y = np.asarray(D.fused_update(x, rhs, dinv=dinv, c=0.5))
+    ref = np.asarray(x) + 0.5 * np.asarray(dinv) * (
+        np.asarray(rhs) - np.asarray(D.matvec(x)))
+    np.testing.assert_allclose(y, ref, rtol=2e-5, atol=2e-5)
