@@ -122,6 +122,39 @@ def main():
     RPC_S = 0.026
     vcycle_s = max(0.0, (solve_s - RPC_S)) / max(1, iters)
 
+    # ---- lean config: double aggregation (opt-in, Options docstring) ----
+    # same problem/tolerance through the performance-oriented hierarchy
+    lean = {}
+    try:
+        opts_l = Options(aggregation="double")
+        t0 = time.perf_counter()
+        hier_l, info_l = H.setup(A, opts_l, dtype=dtype)
+        lean_setup_s = time.perf_counter() - t0
+        params_l = H.SolveParams.from_options(opts_l)
+        rhs_l = jnp.asarray(np.pad(rhs, (0, hier_l.n_pad - n)), dtype=dtype)
+        res_l = S.solve_pCG(hier_l, rhs_l, params=params_l, tol=1e-8,
+                            max_iter=100)
+        it_l = int(res_l.iters)
+        times_l = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = S.solve_pCG(hier_l, rhs_l, params=params_l, tol=1e-8,
+                              max_iter=100)
+            float(out.final_res)
+            times_l.append(time.perf_counter() - t0)
+        solve_l = float(np.median(times_l))
+        lean = {
+            "pcg_iters_to_1e8": it_l,
+            "pcg_rel_res": float(res_l.rel_res),
+            "pcg_solve_ms": round(solve_l * 1e3, 2),
+            "vcycle_ms_est": round(max(0.0, solve_l - 0.026) / max(1, it_l)
+                                   * 1e3, 3),
+            "setup_s": round(lean_setup_s, 2),
+            "levels": info_l.sizes,
+        }
+    except Exception as e:           # lean mode must never break the bench
+        lean = {"error": repr(e)}
+
     hbm_bw = 819e9  # v5e
     roofline = hbm_bw / 12.0
     vs_baseline = nnz_per_s / roofline
@@ -144,6 +177,7 @@ def main():
             "pcg_solve_ms": round(solve_s * 1e3, 2),
             "setup_s": round(setup_s, 2),
             "levels": info.sizes,
+            "lean": lean,
             "device": str(jax.devices()[0]),
         },
     }

@@ -204,7 +204,13 @@ def coarsen_csr(A: sp.csr_matrix, lvl: int, opts: Options):
     Returns (P, R, Ac, last_flag, theta_used) or None if coarsening is not
     possible/useful (ref coarsen(), saena_object.cpp:409-538)."""
     n = A.shape[0]
-    agg, n_c, theta = find_aggregation(A, opts.connStrength, opts.adaptive_coarsening)
+    if opts.aggregation == "double":
+        from saena_tpu.amg.strength import find_aggregation_double
+        agg, n_c, theta = find_aggregation_double(
+            A, opts.connStrength, opts.adaptive_coarsening)
+    else:
+        agg, n_c, theta = find_aggregation(
+            A, opts.connStrength, opts.adaptive_coarsening)
     if n_c == 0 or n_c >= n:
         return None
     last = False

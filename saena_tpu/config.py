@@ -33,6 +33,12 @@ class Options:
     connStrength: float = 0.3          # strength-of-connection threshold
     dynamic_levels: bool = True
     adaptive_coarsening: bool = False
+    aggregation: str = "dist1"         # "dist1" (reference parity,
+                                       # aggregation_1_dist) | "double"
+                                       # (composed two-pass, the working
+                                       # version of the reference's disabled
+                                       # aggregation_2_dist — ~20x less
+                                       # coarse-grid nnz on 3-D Poisson)
     max_level: int = 10                # public default (internal 20)
     least_row_threshold: int = 100     # stop coarsening below this global size
     row_reduction_up_thrshld: float = 0.90

@@ -427,9 +427,21 @@ def device_matrix_from_csr(
         return dense_from_csr(A, dtype=dtype)
     if n == m and A.nnz > 0:
         offs = dia_offsets_of(A)
-        if offs.size <= max_dia_diags:
-            fill = A.nnz / (offs.size * n)
-            if fill >= dia_fill_thre:
+        fill = A.nnz / (offs.size * n)
+        if offs.size <= max_dia_diags and fill >= dia_fill_thre:
+            return dia_from_csr(A, dtype=dtype)
+        # wide-stencil DIA: Galerkin coarse operators of grid problems keep
+        # ~100 diagonals at high fill — the Pallas kernel streams that at
+        # HBM rate (12x the strip-gather kernel measured on the 48^3
+        # Poisson level 1), so take DIA far past the XLA path's diag cap
+        if fill >= dia_fill_thre and offs.size <= 256:
+            import jax
+
+            from saena_tpu.ops.pallas_dia_spmv import dia_supported
+
+            if jax.default_backend() == "tpu" and \
+                    dia_supported(tuple(int(o) for o in offs), pad_to(n),
+                                  dtype):
                 return dia_from_csr(A, dtype=dtype)
     if prefer_bsr is None:
         import jax

@@ -33,36 +33,47 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
-TILE_ROWS = 256            # rows of y per grid step (multiple of 8)
 VMEM_BUDGET = 12 * 2**20   # leave headroom under the ~16 MB core VMEM
 
 
+def _vmem_need(ndiag, R, Rp, tr):
+    # x + halo scratch resident, double-buffered data/rhs/dinv/y tiles
+    return 4 * (R * LANES + Rp * LANES
+                + 2 * (ndiag + 3) * tr * LANES)
+
+
 def _plan(offsets, n_pad):
-    """Static geometry: (R, grid, lo128, Rp) for the halo-padded layout."""
+    """Static geometry: (R, grid, lo128, Rp, tile_rows). tile_rows adapts
+    to the diagonal count so wide stencils (Galerkin coarse operators have
+    ~100 diagonals) still fit their data tiles in VMEM."""
     R = n_pad // LANES
     lo = max(0, -min(offsets))
     hi = max(0, max(offsets))
     lo128 = -(-lo // LANES)
     hi128 = -(-hi // LANES)
-    grid = -(-R // TILE_ROWS)
-    # worst in-kernel read: base + q + TILE_ROWS rows, base <= (grid-1)*TR,
+    ndiag = len(offsets)
+    tr = 8
+    for cand in (512, 256, 128, 64, 32, 16):
+        rp = lo128 + -(-R // cand) * cand + hi128 + 1
+        if _vmem_need(ndiag, R, rp, cand) <= VMEM_BUDGET:
+            tr = cand
+            break
+    grid = -(-R // tr)
+    # worst in-kernel read: base + q + tr rows, base <= (grid-1)*tr,
     # q <= lo128 + hi128  =>  Rp covers it with one spare row
-    Rp = lo128 + grid * TILE_ROWS + hi128 + 1
-    return R, grid, lo128, Rp
+    Rp = lo128 + grid * tr + hi128 + 1
+    return R, grid, lo128, Rp, tr
 
 
 def dia_supported(offsets, n_pad, dtype) -> bool:
     """Trace-time gate: f32 only (min tile (8,128)) and VMEM-resident x."""
     if jnp.dtype(dtype) != jnp.float32 or n_pad % LANES:
         return False
-    R, grid, lo128, Rp = _plan(offsets, n_pad)
-    ndiag = len(offsets)
-    need = 4 * (R * LANES + Rp * LANES                 # x + halo scratch
-                + 2 * (ndiag + 1) * TILE_ROWS * LANES)  # dbl-buffered tiles
-    return need <= VMEM_BUDGET
+    R, grid, lo128, Rp, tr = _plan(offsets, n_pad)
+    return _vmem_need(len(offsets), R, Rp, tr) <= VMEM_BUDGET
 
 
-def _kernel(*refs, offsets, R, lo128, c, add_x, has_rhs, has_dinv):
+def _kernel(*refs, offsets, R, lo128, tr, c, add_x, has_rhs, has_dinv):
     # refs: x, data, [rhs], [dinv], y, xp  (optional tiles in that order)
     x_ref, data_ref = refs[0], refs[1]
     pos = 2
@@ -82,15 +93,15 @@ def _kernel(*refs, offsets, R, lo128, c, add_x, has_rhs, has_dinv):
         tail = xp.shape[0] - lo128 - R
         xp[pl.ds(lo128 + R, tail), :] = jnp.zeros((tail, LANES), x_ref.dtype)
 
-    base = i * TILE_ROWS
-    acc = jnp.zeros((TILE_ROWS, LANES), jnp.float32)
+    base = i * tr
+    acc = jnp.zeros((tr, LANES), jnp.float32)
     for k, off in enumerate(offsets):
         q, r = divmod(lo128 * LANES + off, LANES)
         if r == 0:
-            sh = xp[pl.ds(base + q, TILE_ROWS), :]
+            sh = xp[pl.ds(base + q, tr), :]
         else:
-            left = xp[pl.ds(base + q, TILE_ROWS), r:]
-            right = xp[pl.ds(base + q + 1, TILE_ROWS), :r]
+            left = xp[pl.ds(base + q, tr), r:]
+            right = xp[pl.ds(base + q + 1, tr), :r]
             sh = jnp.concatenate([left, right], axis=1)
         acc = acc + data_ref[k] * sh
 
@@ -102,7 +113,7 @@ def _kernel(*refs, offsets, R, lo128, c, add_x, has_rhs, has_dinv):
             z = z * c
         if add_x:                       # smoother update: x rows are already
             # resident in the halo scratch — the add costs no HBM traffic
-            z = z + xp[pl.ds(base + lo128, TILE_ROWS), :]
+            z = z + xp[pl.ds(base + lo128, tr), :]
         y_ref[:] = z
     else:
         y_ref[:] = acc
@@ -113,12 +124,12 @@ def _kernel(*refs, offsets, R, lo128, c, add_x, has_rhs, has_dinv):
 def _dia_call(data, x, offsets, rhs=None, dinv=None, c=1.0, add_x=False,
               interpret=False):
     ndiag, n_pad = data.shape
-    R, grid, lo128, Rp = _plan(offsets, n_pad)
-    tile = lambda: pl.BlockSpec((TILE_ROWS, LANES), lambda i: (i, 0),
+    R, grid, lo128, Rp, tr = _plan(offsets, n_pad)
+    tile = lambda: pl.BlockSpec((tr, LANES), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)
     in_specs = [
         pl.BlockSpec((R, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((ndiag, TILE_ROWS, LANES), lambda i: (0, i, 0),
+        pl.BlockSpec((ndiag, tr, LANES), lambda i: (0, i, 0),
                      memory_space=pltpu.VMEM),
     ]
     args = [x.reshape(R, LANES), data.reshape(ndiag, R, LANES)]
@@ -128,7 +139,7 @@ def _dia_call(data, x, offsets, rhs=None, dinv=None, c=1.0, add_x=False,
         in_specs.append(tile()); args.append(dinv.reshape(R, LANES))
     y2d = pl.pallas_call(
         functools.partial(
-            _kernel, offsets=tuple(offsets), R=R, lo128=lo128, c=c,
+            _kernel, offsets=tuple(offsets), R=R, lo128=lo128, tr=tr, c=c,
             add_x=add_x, has_rhs=rhs is not None, has_dinv=dinv is not None),
         out_shape=jax.ShapeDtypeStruct((R, LANES), jnp.float32),
         grid=(grid,),

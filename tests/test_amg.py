@@ -232,3 +232,36 @@ def test_residual_replacement_honesty():
     assert float(res.rel_res) < 1e-8
     np.testing.assert_allclose(float(res.final_res), float(res.true_res),
                                rtol=1e-6)
+
+
+def test_double_aggregation_lean_hierarchy():
+    """Options(aggregation="double"): composed two-pass aggregation (the
+    working form of the reference's disabled aggregation_2_dist) must give
+    >= 3.5x first-level coarsening and far less coarse-grid nnz than dist1,
+    converging within a few extra iterations."""
+    from saena_tpu.config import Options
+    from saena_tpu.amg import hierarchy as H
+    from saena_tpu.amg import solvers as S
+    from saena_tpu.core.coo import remove_boundary_nodes
+
+    m = 20
+    A0 = laplacian3D(m, m, m)
+    A, *_ = remove_boundary_nodes(A0, np.ones(A0.shape[0]))
+    n = A.shape[0]
+    rhs = A @ np.ones(n)
+    out = {}
+    for mode in ("dist1", "double"):
+        opts = Options(aggregation=mode)
+        hier, info = H.setup(A, opts)
+        params = H.SolveParams.from_options(opts)
+        res = S.solve_pCG(hier, np.pad(rhs, (0, hier.n_pad - n)),
+                          params=params, tol=1e-8, max_iter=100)
+        u = np.asarray(res.u)[:n]
+        rel = np.linalg.norm(rhs - A @ u) / np.linalg.norm(rhs)
+        assert rel < 1e-7, (mode, rel)
+        out[mode] = (int(res.iters), info.sizes, sum(info.nnzs[1:]))
+    it1, sizes1, cn1 = out["dist1"]
+    it2, sizes2, cn2 = out["double"]
+    assert sizes2[1] * 3.5 <= sizes2[0]          # real coarsening ratio
+    assert cn2 * 4 < cn1                          # much leaner coarse grids
+    assert it2 <= it1 + 6                         # convergence preserved

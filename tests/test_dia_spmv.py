@@ -95,3 +95,22 @@ def test_dia_matrix_fused_update_fallback():
     ref = np.asarray(x) + 0.5 * np.asarray(dinv) * (
         np.asarray(rhs) - np.asarray(D.matvec(x)))
     np.testing.assert_allclose(y, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_wide_stencil_galerkin_level():
+    """~100-diagonal Galerkin coarse operator through the adaptive-tile
+    kernel (the case that unlocks DIA for AMG mid levels)."""
+    import jax.numpy as jnp
+    from saena_tpu.config import Options
+    from saena_tpu.amg import hierarchy as H
+    from saena_tpu.ops.pallas_dia_spmv import _plan
+
+    A0 = laplacian3D(14, 14, 14)
+    A, *_ = remove_boundary_nodes(A0, np.ones(A0.shape[0]))
+    hier, info = H.setup(A, Options(), dtype=jnp.float32)
+    A1 = info.csr_levels[1]
+    D = dia_from_csr(A1)
+    assert len(D.offsets) > 40          # wide: past the XLA-path diag cap
+    R, grid, lo128, Rp, tr = _plan(D.offsets, D.n_pad)
+    assert tr >= 8
+    _check(A1)

@@ -49,3 +49,11 @@ def test_fxm3_6_setup_robust():
     assert np.isfinite(float(res.final_res))
     # residual must at least decrease
     assert float(res.final_res) < float(res.init_res)
+
+
+def test_bcsstk16_double_aggregation():
+    """Lean-aggregation robustness on irregular sparsity (opt-in mode)."""
+    A, u, res = _solve(f"{REF}/bcsstk16.mtx", Options(aggregation="double"))
+    assert float(res.rel_res) < 1e-8
+    assert int(res.iters) <= 60
+    assert np.abs(u - 1.0).max() < 1e-5
