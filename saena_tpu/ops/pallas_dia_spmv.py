@@ -19,9 +19,12 @@ no gathers (the reference's hot loop is the CSR local multiply,
 saena_matrix_matvec.cpp:68-80; DIA is its gather-free TPU replacement
 for stencil operators).
 
-Applicability: square DIA matrices whose x fits VMEM next to the data
-tiles (n up to ~1.4M rows at f32) — covers every fine-level stencil the
+Applicability: DIA matrices whose x fits VMEM next to the data tiles
+(n up to ~1.4M rows at f32) — covers every fine-level stencil the
 generators produce. Falls back to the XLA path otherwise (dia_supported).
+The kernel is also RECTANGULAR-capable (y rows != x length): a sharded
+row block reading the halo-extended local vector passes offsets shifted
+into extended coordinates (parallel/sharded.py ShardedDia).
 """
 from __future__ import annotations
 
@@ -42,11 +45,15 @@ def _vmem_need(ndiag, R, Rp, tr):
                 + 2 * (ndiag + 3) * tr * LANES)
 
 
-def _plan(offsets, n_pad):
-    """Static geometry: (R, grid, lo128, Rp, tile_rows). tile_rows adapts
+def _plan(offsets, n_pad, m_pad=None):
+    """Static geometry: (Rx, grid, lo128, Rp, tile_rows). tile_rows adapts
     to the diagonal count so wide stencils (Galerkin coarse operators have
-    ~100 diagonals) still fit their data tiles in VMEM."""
-    R = n_pad // LANES
+    ~100 diagonals) still fit their data tiles in VMEM. m_pad allows a
+    RECTANGULAR operator (y rows = n_pad, x length = m_pad): row i reads
+    x[i + off] in x's coordinates — the sharded row-block case, where x is
+    the halo-extended local vector."""
+    Ry = n_pad // LANES
+    Rx = (m_pad if m_pad is not None else n_pad) // LANES
     lo = max(0, -min(offsets))
     hi = max(0, max(offsets))
     lo128 = -(-lo // LANES)
@@ -54,26 +61,30 @@ def _plan(offsets, n_pad):
     ndiag = len(offsets)
     tr = 8
     for cand in (512, 256, 128, 64, 32, 16):
-        rp = lo128 + -(-R // cand) * cand + hi128 + 1
-        if _vmem_need(ndiag, R, rp, cand) <= VMEM_BUDGET:
+        g = -(-Ry // cand)
+        rp = lo128 + max(Rx, g * cand + hi128) + 1
+        if _vmem_need(ndiag, Rx, rp, cand) <= VMEM_BUDGET:
             tr = cand
             break
-    grid = -(-R // tr)
+    grid = -(-Ry // tr)
     # worst in-kernel read: base + q + tr rows, base <= (grid-1)*tr,
-    # q <= lo128 + hi128  =>  Rp covers it with one spare row
-    Rp = lo128 + grid * tr + hi128 + 1
-    return R, grid, lo128, Rp, tr
+    # q <= lo128 + hi128  =>  Rp covers it (and all of x) with a spare row
+    Rp = lo128 + max(Rx, grid * tr + hi128) + 1
+    return Rx, grid, lo128, Rp, tr
 
 
-def dia_supported(offsets, n_pad, dtype) -> bool:
+def dia_supported(offsets, n_pad, dtype, m_pad=None) -> bool:
     """Trace-time gate: f32 only (min tile (8,128)) and VMEM-resident x."""
     if jnp.dtype(dtype) != jnp.float32 or n_pad % LANES:
         return False
-    R, grid, lo128, Rp, tr = _plan(offsets, n_pad)
-    return _vmem_need(len(offsets), R, Rp, tr) <= VMEM_BUDGET
+    if m_pad is not None and m_pad % LANES:
+        return False
+    Rx, grid, lo128, Rp, tr = _plan(offsets, n_pad, m_pad)
+    return _vmem_need(len(offsets), Rx, Rp, tr) <= VMEM_BUDGET
 
 
-def _kernel(*refs, offsets, R, lo128, tr, c, add_x, has_rhs, has_dinv):
+def _kernel(*refs, offsets, Rx, lo128, tr, x_row0, c, add_x, has_rhs,
+            has_dinv):
     # refs: x, data, [rhs], [dinv], y, xp  (optional tiles in that order)
     x_ref, data_ref = refs[0], refs[1]
     pos = 2
@@ -89,9 +100,9 @@ def _kernel(*refs, offsets, R, lo128, tr, c, add_x, has_rhs, has_dinv):
     @pl.when(i == 0)
     def _():
         xp[0:lo128, :] = jnp.zeros((lo128, LANES), x_ref.dtype)
-        xp[pl.ds(lo128, R), :] = x_ref[:]
-        tail = xp.shape[0] - lo128 - R
-        xp[pl.ds(lo128 + R, tail), :] = jnp.zeros((tail, LANES), x_ref.dtype)
+        xp[pl.ds(lo128, Rx), :] = x_ref[:]
+        tail = xp.shape[0] - lo128 - Rx
+        xp[pl.ds(lo128 + Rx, tail), :] = jnp.zeros((tail, LANES), x_ref.dtype)
 
     base = i * tr
     acc = jnp.zeros((tr, LANES), jnp.float32)
@@ -113,35 +124,39 @@ def _kernel(*refs, offsets, R, lo128, tr, c, add_x, has_rhs, has_dinv):
             z = z * c
         if add_x:                       # smoother update: x rows are already
             # resident in the halo scratch — the add costs no HBM traffic
-            z = z + xp[pl.ds(base + lo128, tr), :]
+            z = z + xp[pl.ds(base + lo128 + x_row0, tr), :]
         y_ref[:] = z
     else:
         y_ref[:] = acc
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("offsets", "c", "add_x", "interpret"))
+                   static_argnames=("offsets", "c", "add_x", "x_row0",
+                                    "interpret"))
 def _dia_call(data, x, offsets, rhs=None, dinv=None, c=1.0, add_x=False,
-              interpret=False):
+              x_row0=0, interpret=False):
     ndiag, n_pad = data.shape
-    R, grid, lo128, Rp, tr = _plan(offsets, n_pad)
+    m_pad = x.shape[0]
+    Rx, grid, lo128, Rp, tr = _plan(offsets, n_pad, m_pad)
     tile = lambda: pl.BlockSpec((tr, LANES), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)
+    Ry = n_pad // LANES
     in_specs = [
-        pl.BlockSpec((R, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((Rx, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((ndiag, tr, LANES), lambda i: (0, i, 0),
                      memory_space=pltpu.VMEM),
     ]
-    args = [x.reshape(R, LANES), data.reshape(ndiag, R, LANES)]
+    args = [x.reshape(Rx, LANES), data.reshape(ndiag, Ry, LANES)]
     if rhs is not None:
-        in_specs.append(tile()); args.append(rhs.reshape(R, LANES))
+        in_specs.append(tile()); args.append(rhs.reshape(Ry, LANES))
     if dinv is not None:
-        in_specs.append(tile()); args.append(dinv.reshape(R, LANES))
+        in_specs.append(tile()); args.append(dinv.reshape(Ry, LANES))
     y2d = pl.pallas_call(
         functools.partial(
-            _kernel, offsets=tuple(offsets), R=R, lo128=lo128, tr=tr, c=c,
-            add_x=add_x, has_rhs=rhs is not None, has_dinv=dinv is not None),
-        out_shape=jax.ShapeDtypeStruct((R, LANES), jnp.float32),
+            _kernel, offsets=tuple(offsets), Rx=Rx, lo128=lo128, tr=tr,
+            x_row0=x_row0, c=c, add_x=add_x, has_rhs=rhs is not None,
+            has_dinv=dinv is not None),
+        out_shape=jax.ShapeDtypeStruct((Ry, LANES), jnp.float32),
         grid=(grid,),
         in_specs=in_specs,
         out_specs=tile(),
@@ -167,7 +182,8 @@ def dia_spmv(data: jax.Array, x: jax.Array, offsets: tuple,
 
 
 def dia_fused_update(data, x, rhs, offsets, dinv=None, c: float = 1.0,
-                     add_x: bool = True, interpret: bool = False):
+                     add_x: bool = True, x_row0: int = 0,
+                     interpret: bool = False):
     """One-kernel smoother/residual step:
 
         y = [x +] c * [dinv *] (rhs - A @ x)
@@ -178,6 +194,10 @@ def dia_fused_update(data, x, rhs, offsets, dinv=None, c: float = 1.0,
 
     The x-add reads the rows from the VMEM halo scratch, so the whole
     update costs the same HBM traffic as one matvec plus the rhs/dinv
-    streams — one pass instead of two or three."""
+    streams — one pass instead of two or three.
+
+    x may be LONGER than rhs (the halo-extended local vector of a sharded
+    row block); x_row0 gives the 128-row offset of the block's own rows
+    inside x so add_x reads the right slice."""
     return _dia_call(data, x, tuple(offsets), rhs=rhs, dinv=dinv, c=float(c),
-                     add_x=add_x, interpret=interpret)
+                     add_x=add_x, x_row0=int(x_row0), interpret=interpret)

@@ -130,6 +130,108 @@ class ShardedBsr:
 
 @_register
 @dataclasses.dataclass(frozen=True)
+class ShardedDia:
+    """Row-sharded DIA for banded/stencil operators over a 128-aligned
+    EQUAL row split: every active device owns the same block height, so the
+    blocked-padded global vector coincides with the real global vector and
+    the diagonal offsets stay constant across blocks. The halo is then two
+    CONTIGUOUS slabs — the tail of the left neighbor and the head of the
+    right — moved by one ppermute each (the stencil specialization of the
+    reference's vIndex halo, saena_matrix_matvec.cpp:9-113: for banded
+    matrices vSend IS a contiguous boundary slab). The local block is a
+    rectangular DIA over [left | own | right], which the Pallas kernel
+    (ops/pallas_dia_spmv.py) streams at HBM rate; smoothers ride the fused
+    one-pass update like the single-chip path."""
+
+    data: jax.Array              # (D, ndiag, n_loc)
+    shape: tuple = _static()     # logical global (n, n)
+    nnz: int = _static()
+    offsets: tuple = _static()   # GLOBAL diagonal offsets
+    n_loc: int = _static()       # uniform per-device rows (multiple of 128)
+    lo_pad: int = _static()      # left halo slab, multiple of 128
+    hi_pad: int = _static()      # right halo slab, multiple of 128
+    axis: str = _static(default="d")
+    compress: str = _static(default="")
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    def _extend(self, x_loc: jax.Array, exact: bool) -> jax.Array:
+        D = jax.lax.psum(1, self.axis)
+        parts = []
+        if self.lo_pad:
+            send = x_loc[-self.lo_pad:]
+            if self.compress and not exact:
+                send = send.astype(jnp.dtype(self.compress))
+            left = jax.lax.ppermute(
+                send, self.axis,
+                perm=[(j, j + 1) for j in range(D - 1)])
+            parts.append(left.astype(x_loc.dtype))
+        parts.append(x_loc)
+        if self.hi_pad:
+            send = x_loc[: self.hi_pad]
+            if self.compress and not exact:
+                send = send.astype(jnp.dtype(self.compress))
+            right = jax.lax.ppermute(
+                send, self.axis,
+                perm=[(j, j - 1) for j in range(1, D)])
+            parts.append(right.astype(x_loc.dtype))
+        return jnp.concatenate(parts) if len(parts) > 1 else x_loc
+
+    def _ext_offsets(self) -> tuple:
+        return tuple(int(o) + self.lo_pad for o in self.offsets)
+
+    def matvec(self, x_loc: jax.Array, exact: bool = False) -> jax.Array:
+        from saena_tpu.ops.pallas_dia_spmv import dia_supported
+
+        ext = self._extend(x_loc.astype(self.dtype), exact)
+        offs = self._ext_offsets()
+        if jax.default_backend() == "tpu" and \
+                dia_supported(offs, self.n_loc, self.dtype, ext.shape[0]):
+            from saena_tpu.ops.pallas_dia_spmv import _dia_call
+
+            return _dia_call(self.data[0], ext, offs)
+        return _dia_rect_xla(self.data[0], ext, offs)
+
+    def fused_update(self, x_loc, rhs, dinv=None, c: float = 1.0,
+                     add_x: bool = True):
+        """[x +] c * [dinv *] (rhs - A x) with the halo exchange folded in
+        front of the one-pass kernel (preconditioner path: lossy halo ok)."""
+        from saena_tpu.ops.pallas_dia_spmv import (
+            dia_fused_update, dia_supported)
+
+        x_loc = x_loc.astype(self.dtype)
+        ext = self._extend(x_loc, exact=False)
+        offs = self._ext_offsets()
+        if jax.default_backend() == "tpu" and \
+                dia_supported(offs, self.n_loc, self.dtype, ext.shape[0]):
+            return dia_fused_update(
+                self.data[0], ext, rhs.astype(self.dtype), offs,
+                dinv=None if dinv is None else dinv.astype(self.dtype),
+                c=c, add_x=add_x, x_row0=self.lo_pad // 128)
+        z = rhs.astype(self.dtype) - _dia_rect_xla(self.data[0], ext, offs)
+        if dinv is not None:
+            z = z * dinv.astype(self.dtype)
+        if c != 1.0:
+            z = z * c
+        return x_loc + z if add_x else z
+
+
+def _dia_rect_xla(data: jax.Array, x_ext: jax.Array, offsets) -> jax.Array:
+    """XLA fallback for the rectangular DIA block: y[i] = sum_k
+    data[k, i] * x_ext[i + off_k] with x_ext zero-extended."""
+    ndiag, n_loc = data.shape
+    hi = max(0, max(offsets) + n_loc - x_ext.shape[0])
+    xp = jnp.pad(x_ext, (0, hi))
+    y = jnp.zeros(n_loc, dtype=data.dtype)
+    for k, off in enumerate(offsets):
+        y = y + data[k] * jax.lax.dynamic_slice(xp, (off,), (n_loc,))
+    return y
+
+
+@_register
+@dataclasses.dataclass(frozen=True)
 class ShardedDense:
     """Row-sharded dense block with a RING (systolic) matvec: x blocks
     rotate around the mesh via ppermute while each device multiplies its
@@ -221,7 +323,8 @@ class ShardedHierarchy:
 
     @property
     def axis(self) -> str:
-        return self.sharded[0].A.plan.axis
+        A = self.sharded[0].A
+        return A.axis if hasattr(A, "axis") else A.plan.axis
 
 
 # ---------------------------------------------------------------------------
@@ -520,6 +623,60 @@ def _sharded_bsr_bytes(A: sp.csr_matrix, row_split, col_split, dtype) -> int:
     return D * n_br * W * 8 * 128 * _jnp.dtype(dtype).itemsize
 
 
+def sharded_dia_plan(A: sp.csr_matrix, D: int, d_active: int, dtype,
+                     dia_fill_thre: float = 0.3):
+    """Eligibility + geometry for ShardedDia: returns (split, n_loc, lo_pad,
+    hi_pad, offsets) or None. Requires a banded/stencil operator (bounded
+    diagonal count at decent fill), single-hop halos (slab <= block), and a
+    Pallas-compatible extended block."""
+    from saena_tpu.ops.formats import dia_offsets_of
+    from saena_tpu.ops.pallas_dia_spmv import dia_supported
+
+    n = A.shape[0]
+    if A.shape[0] != A.shape[1] or A.nnz == 0 or d_active < 2:
+        return None
+    offs = dia_offsets_of(A)
+    if offs.size > 256 or A.nnz / (offs.size * n) < dia_fill_thre:
+        return None
+    n_loc = pad_to(-(-n // d_active))
+    lo = max(0, -int(offs.min()))
+    hi = max(0, int(offs.max()))
+    lo_pad, hi_pad = pad_to(lo), pad_to(hi)
+    if lo_pad > n_loc or hi_pad > n_loc:
+        return None                      # halo would need multi-hop
+    offsets = tuple(int(o) for o in offs)
+    ext_len = lo_pad + n_loc + hi_pad
+    if not dia_supported(tuple(o + lo_pad for o in offsets), n_loc,
+                         dtype, ext_len):
+        return None
+    split = np.minimum(np.arange(D + 1) * n_loc, n)
+    split[d_active:] = n
+    return split, n_loc, lo_pad, hi_pad, offsets
+
+
+def _build_sharded_dia(A: sp.csr_matrix, plan, dtype, axis: str,
+                       D: int, compress: str = "") -> "ShardedDia":
+    """Per-device DIA blocks in extended-local coordinates. The equal
+    128-multiple block height makes the blocked-padded global layout equal
+    to the real global vector (zero tail on the last active device only),
+    so data[d][k][i] = A[r0+i, r0+i+off_k] directly."""
+    split, n_loc, lo_pad, hi_pad, offsets = plan
+    n = A.shape[0]
+    coo = A.tocoo()
+    offs = np.asarray(offsets)
+    k_of = np.searchsorted(offs, coo.col.astype(np.int64) - coo.row)
+    data = np.zeros((D, len(offsets), n_loc))
+    d_of = coo.row // n_loc
+    i_loc = coo.row % n_loc
+    np.add.at(data, (d_of, k_of, i_loc), coo.data)
+    return ShardedDia(
+        data=jnp.asarray(data, dtype=dtype),
+        shape=A.shape, nnz=int(A.nnz), offsets=offsets,
+        n_loc=n_loc, lo_pad=lo_pad, hi_pad=hi_pad,
+        axis=axis, compress=compress,
+    )
+
+
 def _sharded_operator(A, row_split, col_split, dtype, mode, axis,
                       compress="", fmt="auto"):
     """Dispatch ShardedBsr vs ShardedEll for a sharded operator."""
@@ -615,7 +772,7 @@ def shard_hierarchy(
     mesh: Mesh,
     dtype=None,
     eigs: Optional[list] = None,
-    sharded_format: str = "auto",   # "auto" | "ell" | "bsr"
+    sharded_format: str = "auto",   # "auto" | "ell" | "bsr" | "dia"
 ) -> ShardedHierarchy:
     """Partition the fine levels of a host hierarchy across the mesh; levels
     with global size < opts.replicate_threshold — or whose halo volume
@@ -652,6 +809,7 @@ def shard_hierarchy(
     n_sharded = 0
     splits = []
     d_active = []
+    dia_plans = []
     d_act = D
     for l, A in enumerate(csr_levels):
         if A.shape[0] < opts.replicate_threshold or l >= n_lv - 1:
@@ -666,13 +824,23 @@ def shard_hierarchy(
                     d_act //= 2
             if d_act <= 1:
                 break  # fully shrunk -> replicated tail from here down
-        splits.append(subset_split(A, D, d_act))
+        # banded/stencil levels take the DIA fast path (Pallas kernel +
+        # contiguous-slab ppermute halo), which needs a 128-aligned EQUAL
+        # split over the active devices; others keep the nnz-balanced split
+        dia_plan = None
+        if sharded_format in ("auto", "dia"):
+            dt_l = low_dtype if l >= opts.float_level else dtype
+            dia_plan = sharded_dia_plan(A, D, d_act, dt_l)
+        dia_plans.append(dia_plan)
+        splits.append(dia_plan[0] if dia_plan is not None
+                      else subset_split(A, D, d_act))
         d_active.append(d_act)
         n_sharded += 1
     if n_sharded == 0:  # always shard the finest level
         n_sharded = 1
         splits = [nnz_balanced_split(csr_levels[0], D)]
         d_active = [D]
+        dia_plans = [None]
 
     compress = opts.halo_dtype if opts.compress_halo else ""
     mode = opts.halo_mode
@@ -687,6 +855,9 @@ def shard_hierarchy(
         if (opts.switch_to_dense and l > 0 and density > opts.dense_thre
                 and A.shape[0] <= opts.dense_sz_thre):
             Ash = _build_sharded_dense(A, splits[l], dt, axis, D)
+        elif dia_plans[l] is not None:
+            Ash = _build_sharded_dia(A, dia_plans[l], dt, axis, D,
+                                     compress=compress)
         else:
             Ash = _sharded_operator(A, splits[l], splits[l], dt, mode, axis,
                                     compress=compress, fmt=sharded_format)
