@@ -38,23 +38,49 @@ def main(argv=None):
     D = mesh.devices.size
     print(f"mesh: {D} device(s)")
 
+    from functools import partial
+
+    from saena_tpu.ops.spgemm import matmat_prepare, matmat_run
+
+    # per-iteration time via the slope of two chained-loop lengths with a
+    # single value-fetch sync — on tunneled TPU only value fetches
+    # synchronize and each costs ~26 ms RPC (see bench.py); the 1e-30*s
+    # scale of B makes each iteration depend on the carry so XLA cannot
+    # hoist the loop-invariant product
+    @partial(jax.jit, static_argnames=("n",))
+    def chain(Ab, Bb, n):
+        def body(i, s):
+            C = matmat_run(Ab, Bb * (1.0 + 1e-30 * s), mesh)
+            return s + C[0, 0, 0] * 1e-30
+        return jax.lax.fori_loop(0, n, body, jnp.zeros((), Ab.dtype))
+
+    def slope(Ab, Bb, n_long):
+        float(chain(Ab, Bb, 3)); float(chain(Ab, Bb, n_long))
+        reps = []
+        for _ in range(3):
+            t0 = time.perf_counter(); float(chain(Ab, Bb, 3))
+            ts = time.perf_counter() - t0
+            t0 = time.perf_counter(); float(chain(Ab, Bb, n_long))
+            tl = time.perf_counter() - t0
+            reps.append((tl - ts) / (n_long - 3))
+        return float(np.median(reps))
+
     for dens in [float(d) for d in args.densities.split(",")]:
         A = generators.random_symm_matrix(args.M, dens, seed=1)
         B = generators.random_symm_matrix(args.M, dens, seed=2)
-        # warmups then timed loop (ref setup_matmat.cpp:1178-1180:
-        # avg of 20 iters after 10 warmups)
-        C = matmat(A, B, mesh, dtype=jnp.float32)
+        C = matmat(A, B, mesh, dtype=jnp.float32)      # correctness pass
         err = oracles.check_matmat(A, B, C)
-        for _ in range(args.warmup):
-            matmat(A, B, mesh, dtype=jnp.float32, assemble=False)
-        t0 = time.time()
-        for _ in range(args.iters):
-            blocks, _ = matmat(A, B, mesh, dtype=jnp.float32, assemble=False)
-        np.asarray(blocks[0, 0, 0])  # sync
-        dt = (time.time() - t0) / args.iters
-        flops = 2.0 * A.nnz * (B.nnz / args.M)  # ~ 2 * nnz_A * avg row nnz_B
+        # device-resident operands: host distribution is NOT in the timed
+        # region (the reference too distributes/compress_preps before its
+        # 20-iteration timed loop, setup_matmat.cpp:1164-1360)
+        Ab, Bb, _ = matmat_prepare(A, B, mesh, dtype=jnp.float32)
+        dt = slope(Ab, Bb, max(args.iters, 10))
+        flops_s = 2.0 * A.nnz * (B.nnz / args.M)       # sparse-effective
+        flops_d = 2.0 * float(args.M) ** 3             # dense-strategy
         print(f"density={dens:8.4f} nnzA={A.nnz:10d} matmat={dt * 1e3:9.3f} ms "
-              f"(~{flops / dt / 1e9:.1f} GFLOP/s eff)  max_err_vs_scipy={err:.2e}")
+              f"({flops_d / dt / 1e12:.1f} TFLOP/s dense, "
+              f"{flops_s / dt / 1e9:.2f} GFLOP/s sparse-eff)  "
+              f"max_err_vs_scipy={err:.2e}")
     return 0
 
 

@@ -39,11 +39,14 @@ from saena_tpu.ops.formats import pad_to, _register, _static
 
 PERROW = 4            # entry slots per row per pair tile
 ROWS_PER_TILE = 8 * (128 // PERROW)   # 256 rows covered by one (8,128) tile
-GROUP = 16            # pairs (all of one row-block) processed per grid step:
+GROUP = 64            # pairs (all of one row-block) processed per grid step:
                       # amortizes the ~0.3 us/step grid overhead that would
                       # otherwise dominate (measured 3.1 ms at 11.5k steps at
-                      # GROUP=1 vs 350 us at GROUP=16); GROUP=32's unrolled
-                      # body stalls the Mosaic compiler — do not raise it
+                      # GROUP=1 vs 350 us at GROUP=16). The kernel body runs
+                      # GROUP/UNROLL fori_loop iterations of an UNROLL-wide
+                      # static block: a fully unrolled GROUP=32 body stalls
+                      # the Mosaic compiler, the rolled loop does not.
+UNROLL = 16           # static unroll width inside the fori_loop
 
 
 @_register
@@ -97,16 +100,20 @@ def _kernel(strip_of, rowblk_of, x_ref, idx_ref, vals_ref, o_ref):
     def _():
         o_ref[...] = jnp.zeros_like(o_ref)
 
-    acc = o_ref[0, :, :]
-    for k in range(GROUP):                               # static unroll
-        s = strip_of[p * GROUP + k]
-        xs = x_ref[s, :]                                 # (128,)
-        src = jnp.broadcast_to(xs.reshape(1, 128), (8, 128))
-        g = jnp.take_along_axis(src, idx_ref[k], axis=1)  # vreg-local gather
-        contrib = vals_ref[k] * g                        # (8, 128)
-        acc = acc + (contrib[:, 0:32] + contrib[:, 32:64]
-                     + contrib[:, 64:96] + contrib[:, 96:128])
-    o_ref[0, :, :] = acc
+    def body(t, acc):
+        for kk in range(UNROLL):                         # static inner block
+            k = t * UNROLL + kk
+            s = strip_of[p * GROUP + k]
+            xs = x_ref[s, :]                             # (128,)
+            src = jnp.broadcast_to(xs.reshape(1, 128), (8, 128))
+            g = jnp.take_along_axis(src, idx_ref[k], axis=1)  # vreg gather
+            contrib = vals_ref[k] * g                    # (8, 128)
+            acc = acc + (contrib[:, 0:32] + contrib[:, 32:64]
+                         + contrib[:, 64:96] + contrib[:, 96:128])
+        return acc
+
+    o_ref[0, :, :] = jax.lax.fori_loop(
+        0, GROUP // UNROLL, body, o_ref[0, :, :])
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -47,8 +47,9 @@ def _dense_blocks(A: sp.spmatrix, split: np.ndarray, n_cols_pad: int, dtype):
     return jnp.asarray(out, dtype=dtype), n_loc_pad
 
 
-@partial(jax.jit, static_argnames=("mesh", "axis"))
-def _ring_spgemm_dense(A_blocks, B_blocks, mesh: Mesh, axis: str = "d"):
+@partial(jax.jit, static_argnames=("mesh", "axis", "precision"))
+def _ring_spgemm_dense(A_blocks, B_blocks, mesh: Mesh, axis: str = "d",
+                       precision=jax.lax.Precision.HIGHEST):
     """A_blocks: (D, n_loc_pad, m_pad) — A row blocks, columns in
     blocked-padded layout of B's row space (m_pad = D * m_loc_pad).
     B_blocks: (D, m_loc_pad, k_pad). Returns C blocks (D, n_loc_pad, k_pad)."""
@@ -66,7 +67,10 @@ def _ring_spgemm_dense(A_blocks, B_blocks, mesh: Mesh, axis: str = "d"):
             A_slice = jax.lax.dynamic_slice(
                 A_loc, (jnp.int32(0), e * jnp.int32(m_loc)),
                 (A_loc.shape[0], m_loc))
-            C = C + jnp.dot(A_slice, B_cur, preferred_element_type=C.dtype)
+            # HIGHEST: multi-pass bf16 emulation of f32 multiplies on the
+            # MXU — the reference computes in f64, so default to accuracy
+            C = C + jnp.dot(A_slice, B_cur, preferred_element_type=C.dtype,
+                            precision=precision)
             B_next = jax.lax.ppermute(
                 B_cur, axis, perm=[(j, (j - 1) % D) for j in range(D)])
             return B_next, C
@@ -81,6 +85,35 @@ def _ring_spgemm_dense(A_blocks, B_blocks, mesh: Mesh, axis: str = "d"):
     )(A_blocks, B_blocks)
 
 
+def matmat_prepare(A: sp.spmatrix, B: sp.spmatrix, mesh: Mesh,
+                   axis: str = "d", dtype=jnp.float32):
+    """Host -> device distribution, ONCE: the analog of the reference's
+    assemble + CSC conversion + compress_prep done BEFORE its timed matmat
+    loop (setup_matmat.cpp:1164-1360). Returns (A_blocks, B_blocks,
+    a_split) — device-resident operands for repeated matmat_run calls."""
+    if A.shape[1] != B.shape[0]:
+        raise ValueError("inner dimensions must match")
+    D = mesh.devices.size
+    a_split = equal_row_split(A.shape[0], D)
+    b_split = equal_row_split(B.shape[0], D)
+    m_loc_pad = pad_to(int(np.max(np.diff(b_split))))
+    k_pad = pad_to(B.shape[1])
+
+    # A's columns must address the blocked-padded layout of B's rows
+    A_perm = _blocked_pad_cols(A.tocsc(), b_split, m_loc_pad)
+    A_blocks, _ = _dense_blocks(A_perm, a_split, D * m_loc_pad, dtype)
+    B_blocks, _ = _dense_blocks(B, b_split, k_pad, dtype)
+    return A_blocks, B_blocks, a_split
+
+
+def matmat_run(A_blocks, B_blocks, mesh: Mesh, axis: str = "d",
+               precision=jax.lax.Precision.HIGHEST):
+    """The ring product on device-resident operands (the timed region of
+    the reference's matmat benchmark)."""
+    return _ring_spgemm_dense(A_blocks, B_blocks, mesh, axis,
+                              precision=precision)
+
+
 def matmat(
     A: sp.spmatrix,
     B: sp.spmatrix,
@@ -93,19 +126,8 @@ def matmat(
     """Distributed C = A @ B on the mesh (ref saena::amg::matmat,
     setup_matmat.cpp:1164-1487). Returns scipy CSR when assemble else the
     dense sharded blocks + row split."""
-    if A.shape[1] != B.shape[0]:
-        raise ValueError("inner dimensions must match")
+    A_blocks, B_blocks, a_split = matmat_prepare(A, B, mesh, axis, dtype)
     D = mesh.devices.size
-    a_split = equal_row_split(A.shape[0], D)
-    b_split = equal_row_split(B.shape[0], D)
-    m_loc_pad = pad_to(int(np.max(np.diff(b_split))))
-    k_pad = pad_to(B.shape[1])
-
-    # A's columns must address the blocked-padded layout of B's rows
-    A_perm = _blocked_pad_cols(A.tocsc(), b_split, m_loc_pad)
-    A_blocks, n_loc_pad = _dense_blocks(A_perm, a_split, D * m_loc_pad, dtype)
-    B_blocks, _ = _dense_blocks(B, b_split, k_pad, dtype)
-
     C_blocks = _ring_spgemm_dense(A_blocks, B_blocks, mesh, axis)
     if not assemble:
         return C_blocks, a_split
