@@ -145,3 +145,49 @@ def test_profile_trace(tmp_path):
     assert float(res.rel_res) < 1e-8
     import os
     assert any("plugins" in d or f for d, _, f in os.walk(tmp_path))
+
+
+def test_reference_options_xml_files():
+    """The reference's own bundled options XMLs load with exact values
+    (data/options001.xml family; ref parser saena.cpp:444-546)."""
+    import os
+
+    ref = "/root/reference/data"
+    if not os.path.isdir(ref):
+        return
+    o = Options.from_file(f"{ref}/options001.xml")
+    assert o.max_iter == 50 and o.tol == 1e-8
+    assert o.smoother == "jacobi" and o.preSmooth == 3 and o.postSmooth == 3
+    assert o.connStrength == 0.2 and o.max_level == 20
+    assert o.float_level == 3 and o.filter_rate == 2
+    assert o.switch_to_dense is False and o.dense_sz_thre == 5000
+    assert o.petsc_solver == ""
+    for name in ("options002.xml", "options003_gamg.xml",
+                 "options004_ml.xml", "options005_hypre.xml",
+                 "options006_poisson.xml"):
+        Options.from_file(f"{ref}/{name}")   # all parse
+
+
+def test_update3_local_diff_path():
+    """update3: values-only refresh propagated through existing P/R
+    (ref saena_object_lazy.cpp update3 / local_diff)."""
+    m = 10
+    base = laplacian3D(m, m, m)
+    A = Matrix()
+    A.set_csr(base)
+    A.assemble()
+    solver = AMG()
+    solver.set_matrix(A, Options())
+    rhs = laplacian3D_set_rhs(m, m, m)
+    solver.set_rhs(rhs)
+    solver.solve_pCG()
+
+    A2csr = base.copy()
+    A2csr.data = A2csr.data * 1.25
+    A2 = Matrix()
+    A2.set_csr(A2csr)
+    A2.assemble()
+    solver.update3(A2)
+    u3, res3 = solver.solve_pCG()
+    r = rhs - A2csr @ u3
+    assert np.linalg.norm(r) / np.linalg.norm(rhs) < 1e-6
