@@ -20,8 +20,35 @@ import numpy as np
 import scipy.sparse as sp
 
 
+def _torch_csr(M: sp.csr_matrix):
+    import torch
+    M = M.tocsr()
+    return torch.sparse_csr_tensor(
+        torch.from_numpy(M.indptr.astype(np.int64)),
+        torch.from_numpy(M.indices.astype(np.int64)),
+        torch.from_numpy(M.data), size=M.shape)
+
+
+def _spgemm(X: sp.csr_matrix, Y: sp.csr_matrix) -> sp.csr_matrix:
+    """Host SpGEMM: torch's MKL-backed CPU kernel when available (measured
+    3x scipy on the Poisson RAP), scipy otherwise. This is the setup-time
+    stand-in for the reference's mkl_dcsrmultcsr fast_mm base case
+    (saena_object_setup_matmat.cpp:214)."""
+    try:
+        import torch
+        import warnings
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            Z = torch.sparse.mm(_torch_csr(X), _torch_csr(Y))
+        return sp.csr_matrix(
+            (Z.values().numpy(), Z.col_indices().numpy(),
+             Z.crow_indices().numpy()), shape=tuple(Z.shape))
+    except Exception:
+        return (X @ Y).tocsr()
+
+
 def galerkin_product(R: sp.csr_matrix, A: sp.csr_matrix, P: sp.csr_matrix) -> sp.csr_matrix:
-    Ac = (R @ (A @ P)).tocsr()
+    Ac = _spgemm(R.tocsr(), _spgemm(A.tocsr(), P.tocsr()))
     Ac.sum_duplicates()
     Ac.sort_indices()
     return Ac

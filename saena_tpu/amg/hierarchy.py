@@ -76,15 +76,33 @@ class Level:
 @_register
 @dataclasses.dataclass(frozen=True)
 class CoarseLU:
-    """Cached dense LU of the coarsest operator (replaces SuperLU_DIST's
-    cached pdgssvx factorization, solve.cpp:117-420, 793-958). The padded
-    tail carries a unit diagonal so the factorization stays nonsingular."""
+    """Cached dense direct solver for the coarsest operator (replaces
+    SuperLU_DIST's cached pdgssvx factorization, solve.cpp:117-420, 793-958).
 
-    lu: jax.Array
-    piv: jax.Array
+    Two apply strategies:
+    - ``inv`` (small n, the default): the inverse is computed ONCE on the
+      host in f64 and applied as a single tiny MXU matmul plus one
+      iterative-refinement matmul pair. TPU's ``triangular_solve`` is a
+      sequential row sweep (~0.5 ms even at n=36, dominating the V-cycle);
+      the matmul apply is ~10 us. Padding rows/cols of ``inv`` and
+      ``adense`` are ZERO so the solve preserves zero padding.
+    - ``lu`` (large n): on-device LU factors + lu_solve, the padded tail
+      carrying a unit diagonal so the factorization stays nonsingular.
+    """
+
+    lu: Optional[jax.Array]
+    piv: Optional[jax.Array]
+    inv: Optional[jax.Array]
+    adense: Optional[jax.Array]
     n: int = _static()
 
     def solve(self, rhs: jax.Array) -> jax.Array:
+        if self.inv is not None:
+            x = self.inv @ rhs.astype(self.inv.dtype)
+            # one refinement step: kills the kappa*eps error of the
+            # explicit-inverse apply at the cost of two more tiny matmuls
+            r = rhs.astype(self.inv.dtype) - self.adense @ x
+            return x + self.inv @ r
         x = jax.scipy.linalg.lu_solve((self.lu, self.piv), rhs.astype(self.lu.dtype))
         return x
 
@@ -201,8 +219,10 @@ def _transfer_from_csr(M: sp.csr_matrix, dtype):
 
 def coarsen_csr(A: sp.csr_matrix, lvl: int, opts: Options):
     """One h-coarsening step: aggregation -> P -> R -> filtered Galerkin Ac.
-    Returns (P, R, Ac, last_flag, theta_used) or None if coarsening is not
-    possible/useful (ref coarsen(), saena_object.cpp:409-538)."""
+    Returns (P, R, Ac, last_flag, theta_used, struct) or None if coarsening
+    is not possible/useful (ref coarsen(), saena_object.cpp:409-538).
+    ``struct`` is (agg, wq) when the level supports structural (fused SA)
+    transfer operators on device, else None."""
     n = A.shape[0]
     if opts.aggregation == "double":
         from saena_tpu.amg.strength import find_aggregation_double
@@ -242,7 +262,18 @@ def coarsen_csr(A: sp.csr_matrix, lvl: int, opts: Options):
             Ac.sort_indices()
             P = P[:, perm].tocsr()
             R = R[perm].tocsr()
-    return P, R, Ac, last, theta
+            iperm = np.empty_like(perm)
+            iperm[perm] = np.arange(perm.size)
+            agg = iperm[agg]
+    # structural (fused) device transfers need R = P^T to decompose through
+    # a SYMMETRIC A (ops/transfers.py); sparsified hierarchies break it
+    struct = None
+    if opts.structural_transfers and opts.sample_sz_percent >= 1.0:
+        from saena_tpu.ops.transfers import is_symmetric
+        from saena_tpu.amg.prolongation import smoothing_diag
+        if is_symmetric(A):
+            struct = (agg, smoothing_diag(A, opts.Pomega, opts.PSmoother))
+    return P, R, Ac, last, theta, struct
 
 
 def setup(
@@ -291,7 +322,7 @@ def setup(
     # ---- host coarsening loop ----
     csr_levels = [A]
     Ps, Rs = [], []
-    thetas, kinds = [], []
+    thetas, kinds, structs = [], [], []
 
     if p_levels:
         for P in p_levels:
@@ -303,6 +334,7 @@ def setup(
             csr_levels.append(Ac)
             thetas.append(None)
             kinds.append("p")
+            structs.append(None)
 
     while len(csr_levels) - 1 < opts.max_level:
         Acur = csr_levels[-1]
@@ -312,18 +344,19 @@ def setup(
         out = coarsen_csr(Acur, lvl, opts)
         if out is None:
             break
-        P, R, Ac, last, theta = out
+        P, R, Ac, last, theta, struct = out
         Ps.append(P)
         Rs.append(R)
         csr_levels.append(Ac)
         thetas.append(theta)
         kinds.append("h")
+        structs.append(struct)
         if last:
             break
 
     hierarchy, info = devicify(
         csr_levels, Ps, Rs, opts, dtype=dtype, use_dense=use_dense,
-        inv_sq_diag=inv_sq_diag,
+        inv_sq_diag=inv_sq_diag, structs=structs,
     )
     info.thetas = thetas + [None]
     info.coarsen_kinds = kinds + ["-"]
@@ -338,10 +371,13 @@ def devicify(
     dtype=None,
     use_dense: bool = False,
     inv_sq_diag=None,
+    structs=None,
 ) -> tuple[Hierarchy, SetupInfo]:
     """Convert a host CSR hierarchy into device Level pytrees. Split out of
     setup() so the lazy-update path (update1/2/3) can re-devicify after a
-    values-only refresh without re-aggregating."""
+    values-only refresh without re-aggregating (lazy updates pass no
+    ``structs``: a refreshed A breaks the fused-transfer identity, so they
+    get direct P/R strips)."""
     dtype = dtype or default_dtype()
     low_dtype = jnp.dtype(opts.low_dtype)
     n_lv = len(csr_levels)
@@ -379,8 +415,25 @@ def devicify(
         P_dev = R_dev = None
         if l < n_lv - 1:
             dt_next = low_dtype if (l + 1) >= opts.float_level else dtype
-            P_dev = _transfer_from_csr(Ps[l], dt_next)
-            R_dev = _transfer_from_csr(Rs[l], dt_next)
+            struct = structs[l] if structs else None
+            if struct is not None and jax.default_backend() != "cpu":
+                from saena_tpu.ops.pallas_strip_spmv import (
+                    strip_bytes_estimate, strip_supported)
+                from saena_tpu.ops.transfers import (
+                    build_structural, structural_estimate)
+                agg, wq = struct
+                n_c = csr_levels[l + 1].shape[0]
+                est_s = structural_estimate(agg, n_c, Adev, dt)
+                est_d = (strip_bytes_estimate(Ps[l], dt_next)
+                         + strip_bytes_estimate(Rs[l], dt_next)
+                         if strip_supported(Ps[l], dt_next)
+                         and strip_supported(Rs[l], dt_next) else 1 << 62)
+                if est_s < min(est_d, 1 << 62):
+                    P_dev, R_dev = build_structural(
+                        agg, n_c, wq, Adev, int(Ps[l].nnz), dt, dt_next)
+            if P_dev is None:
+                P_dev = _transfer_from_csr(Ps[l], dt_next)
+                R_dev = _transfer_from_csr(Rs[l], dt_next)
 
         levels.append(
             Level(A=Adev, inv_diag=jnp.asarray(inv_diag, dtype=dt),
@@ -401,9 +454,20 @@ def devicify(
         # LU needs at least f32 (no bf16/f16 factorization kernels)
         if jnp.dtype(dt).itemsize < 4:
             dt = jnp.float32
-        dm = dense_from_csr(Acoarse, dtype=dt, unit_diag_pad=True)
-        lu, piv = jax.scipy.linalg.lu_factor(dm.data)
-        coarse_lu = CoarseLU(lu=lu, piv=piv, n=n)
+        n_pad = pad_to(n)
+        if n_pad <= 2048:
+            # host f64 inverse, zero-padded; applied as MXU matmuls
+            inv = np.zeros((n_pad, n_pad))
+            inv[:n, :n] = np.linalg.inv(Acoarse.toarray())
+            ad = np.zeros((n_pad, n_pad))
+            ad[:n, :n] = Acoarse.toarray()
+            coarse_lu = CoarseLU(
+                lu=None, piv=None, inv=jnp.asarray(inv, dtype=dt),
+                adense=jnp.asarray(ad, dtype=dt), n=n)
+        else:
+            dm = dense_from_csr(Acoarse, dtype=dt, unit_diag_pad=True)
+            lu, piv = jax.scipy.linalg.lu_factor(dm.data)
+            coarse_lu = CoarseLU(lu=lu, piv=piv, inv=None, adense=None, n=n)
 
     hierarchy = Hierarchy(
         levels=tuple(levels),

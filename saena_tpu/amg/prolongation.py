@@ -21,19 +21,16 @@ def tentative_prolongator(agg: np.ndarray, n_coarse: int) -> sp.csr_matrix:
     )
 
 
-def smoothed_prolongator(
+def smoothing_diag(
     A: sp.csr_matrix,
-    agg: np.ndarray,
-    n_coarse: int,
     omega: float = 2.0 / 3.0,
     psmoother: str = "jacobi",
-) -> sp.csr_matrix:
-    """P = (I - omega Q A) P_t.
+) -> np.ndarray:
+    """wq = omega * diag(Q) of the prolongation smoother.
 
     jacobi: Q = D^{-1}, omega as given (ref :102).
     SPAI:   Q_i = d_i / sum_j a_ij^2, omega = 4 / (3 * max_i sum_j |a_ij|)
             (ref :110-136)."""
-    n = A.shape[0]
     diag = A.diagonal()
     if psmoother == "jacobi":
         q = np.where(diag != 0, 1.0 / np.where(diag == 0, 1.0, diag), 0.0)
@@ -45,7 +42,19 @@ def smoothed_prolongator(
         w = 4.0 / (3.0 * absrow.max())
     else:
         raise ValueError(f"unknown PSmoother {psmoother!r}")
+    return w * q
 
+
+def smoothed_prolongator(
+    A: sp.csr_matrix,
+    agg: np.ndarray,
+    n_coarse: int,
+    omega: float = 2.0 / 3.0,
+    psmoother: str = "jacobi",
+) -> sp.csr_matrix:
+    """P = (I - omega Q A) P_t (see smoothing_diag for Q and omega)."""
+    wq = smoothing_diag(A, omega, psmoother)
+    q, w = wq, 1.0
     Pt = tentative_prolongator(agg, n_coarse)
     QA = sp.diags(q) @ A
     P = (Pt - w * (QA @ Pt)).tocsr()

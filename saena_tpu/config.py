@@ -73,6 +73,10 @@ class Options:
     reorder_coarse: bool = True        # RCM-reorder coarse operators at setup so
                                        # block formats stay narrow (setup-time row
                                        # reordering, like the reference's repart)
+    structural_transfers: bool = True  # apply SA transfers as P_t +/- the level's
+                                       # own A matvec (P=(I-wQA)P_t decomposed,
+                                       # ops/transfers.py) when cheaper than
+                                       # streaming P/R directly; needs symmetric A
 
     # ---- parallel policy (TPU-native analogs of shrink/repart) ----
     replicate_threshold: int = 5000    # coarse levels below this global size are replicated

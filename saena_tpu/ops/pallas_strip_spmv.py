@@ -6,22 +6,33 @@ The TPU's only efficient irregular lookup is Mosaic's vreg-local
 SpMV out of that primitive:
 
 - x lives in VMEM as (n_strips, 128) — a "strip" is 128 consecutive values.
-- Entries are grouped into PAIRS (row-block, strip): all nonzeros whose
-  row is in a 256-row block and whose column is in one strip.
-- Each pair owns one (8, 128) tile of lane-local indices and values laid
-  out so slot (i, j) belongs to row  base + i + 8*(j // PERROW)  with
-  PERROW=4 entry slots per row: one gather + multiply + a (j%4)-group
-  reduction yields 256 row contributions, accumulated into y in VMEM.
+- Entries are grouped into PAIRS (row-block, strip, replica): all nonzeros
+  whose row is in a ROWS_PER_TILE row block and whose column is in one
+  strip. Each pair owns one (8, 128) tile of lane-local indices and values
+  laid out so slot (i, j) belongs to row  base + i + 8*(j % Q)  with
+  ``perrow`` entry slots per row (Q = 128 // perrow lanes per slot group):
+  one gather + multiply + a perrow-slice reduction yields the block's row
+  contributions.
+- Output blocks cover ``krb`` consecutive row-blocks (a SUPERBLOCK); each
+  pair's (8, Q) contribution is masked-accumulated into its row-block's
+  slice of the superblock accumulator. Decoupling the grid GROUP padding
+  from single row-blocks is what makes sparse-per-row operators (the AMG
+  P/R transfer matrices, ~4 nnz/row) efficient: padding is per superblock,
+  not per row-block (measured 200 MB -> 15 MB of streamed tiles on the
+  97k x 12k smoothed-aggregation P).
 
-Traffic = 5 bytes/slot (int8-able idx stored as int32 here + f32 val) at a
-~1.5-2x padding factor — an order of magnitude less than the 8x128 BSR
-blocks for the same operators, with lanes fully utilized. The reference's
-moral equivalent is the CSR local loop (saena_matrix_matvec.cpp:68-80);
-the design notes for why naive gather kernels fail on this hardware are
-in pallas_spmv.py and CLAUDE.md.
+``perrow`` and ``krb`` are chosen PER MATRIX at setup by a host cost model
+(streamed bytes + VPU mask work); well-filled operators get krb=1 which
+degenerates to the plain one-row-block-per-step kernel.
+
+Traffic = 8 bytes/slot (int32 idx + f32 val) at the packing factor the
+planner minimizes. The reference's moral equivalent is the CSR local loop
+(saena_matrix_matvec.cpp:68-80); the design notes for why naive gather
+kernels fail on this hardware are in pallas_spmv.py and CLAUDE.md.
 
 Applicability: x (as strips) + y must fit in VMEM alongside a few tiles —
-AMG mid/coarse levels. Built at setup by ``strip_from_csr``.
+AMG mid/coarse levels and P/R transfers. Built at setup by
+``strip_from_csr``.
 """
 from __future__ import annotations
 
@@ -37,16 +48,21 @@ from jax.experimental.pallas import tpu as pltpu
 
 from saena_tpu.ops.formats import pad_to, _register, _static
 
-PERROW = 4            # entry slots per row per pair tile
-ROWS_PER_TILE = 8 * (128 // PERROW)   # 256 rows covered by one (8,128) tile
-GROUP = 64            # pairs (all of one row-block) processed per grid step:
-                      # amortizes the ~0.3 us/step grid overhead that would
-                      # otherwise dominate (measured 3.1 ms at 11.5k steps at
-                      # GROUP=1 vs 350 us at GROUP=16). The kernel body runs
-                      # GROUP/UNROLL fori_loop iterations of an UNROLL-wide
-                      # static block: a fully unrolled GROUP=32 body stalls
-                      # the Mosaic compiler, the rolled loop does not.
+GROUP = 64            # pairs processed per grid step: amortizes the
+                      # ~0.3 us/step grid overhead (measured 3.1 ms at 11.5k
+                      # steps at GROUP=1 vs 350 us at GROUP=16). The body
+                      # runs GROUP/UNROLL fori_loop iterations of an
+                      # UNROLL-wide static block: a fully unrolled GROUP=32
+                      # body stalls the Mosaic compiler, a rolled loop not.
 UNROLL = 16           # static unroll width inside the fori_loop
+ROWS_PER_TILE = 8 * (128 // 4)   # rows/tile at the default perrow=4 (compat)
+
+_PERROW_CANDIDATES = (1, 2, 4, 8, 16)
+_KRB_CANDIDATES = (1, 2, 4, 8, 16, 32)
+
+
+def _rpt(perrow: int) -> int:
+    return 8 * (128 // perrow)
 
 
 @_register
@@ -57,10 +73,13 @@ class StripMatrix:
     idx: jax.Array          # (n_pairs, 8, 128) int32 — lane index within strip
     vals: jax.Array         # (n_pairs, 8, 128)
     strip_of: jax.Array     # (n_pairs,) int32 — x strip id per pair
-    rowblk_of: jax.Array    # (n_pairs,) int32 — 256-row block id per pair
+    rb_local: jax.Array     # (n_pairs,) int32 — row-block id WITHIN superblock
+    sb_of: jax.Array        # (n_groups,) int32 — superblock id per GROUP step
     shape: tuple = _static()
     nnz: int = _static()
-    n_rows_pad: int = _static(default=0)   # internal 256-row padding
+    perrow: int = _static(default=4)       # entry slots per row per tile
+    krb: int = _static(default=1)          # row-blocks per output superblock
+    n_rows_pad: int = _static(default=0)   # internal padding (n_sb*krb*RPT)
     n_cols_pad: int = _static(default=0)
     n_out: int = _static(default=0)        # caller's padded length (128-mult)
 
@@ -73,7 +92,8 @@ class StripMatrix:
         return self.n_out or self.n_rows_pad
 
     def matvec(self, x: jax.Array) -> jax.Array:
-        y = strip_spmv(self, x)
+        # interpret mode makes the kernel runnable on CPU (tests/dry runs)
+        y = strip_spmv(self, x, interpret=jax.default_backend() == "cpu")
         n_out = self.n_out or self.n_rows_pad
         return y[:n_out] if n_out != self.n_rows_pad else y
 
@@ -81,24 +101,28 @@ class StripMatrix:
         return dataclasses.replace(self, vals=self.vals.astype(dtype))
 
 
-def _kernel(strip_of, rowblk_of, x_ref, idx_ref, vals_ref, o_ref):
-    """Grid over pairs, SORTED by row-block. The output BLOCK (1, 8, 32) is
-    selected by the scalar-prefetch-driven index map (no in-kernel dynamic
-    output indexing — that stalls the Mosaic compiler); pairs of one
-    row-block are consecutive, so the block stays VMEM-resident across its
-    accumulation run and is zeroed on first visit.
+def _kernel(sb_of, strip_of, rb_local, x_ref, idx_ref, vals_ref, o_ref,
+            *, perrow: int, krb: int):
+    """Grid over GROUP-sized pair runs, SORTED by superblock. The output
+    BLOCK (krb, 8, Q) is selected by the scalar-prefetch-driven index map
+    (no in-kernel dynamic output indexing — that stalls the Mosaic
+    compiler); a superblock's pairs are consecutive, so the block stays
+    VMEM-resident across its accumulation run and starts from zeros on the
+    first visit.
 
-    Slot (i, j) of a tile belongs to row  i + 8*(j % 32)  with the PERROW=4
-    entry slots living in the four contiguous 32-lane quarters — the
-    per-row reduction is four static lane slices (Mosaic supports neither
-    lane-splitting reshapes nor strided lane slices)."""
+    Slot (i, j) of a tile belongs to row  i + 8*(j % Q)  with the perrow
+    entry slots living in perrow contiguous Q-lane groups — the per-row
+    reduction is perrow static lane slices (Mosaic supports neither
+    lane-splitting reshapes nor strided lane slices). With krb > 1 the
+    (8, Q) contribution is routed to its row-block by a broadcast multiply
+    against an iota mask — all-static shapes, no dynamic VMEM writes."""
+    Q = 128 // perrow
     p = pl.program_id(0)
     first = jnp.logical_or(
-        p == 0, rowblk_of[p] != rowblk_of[jnp.maximum(p - 1, 0)])
-
-    @pl.when(first)
-    def _():
-        o_ref[...] = jnp.zeros_like(o_ref)
+        p == 0, sb_of[p] != sb_of[jnp.maximum(p - 1, 0)])
+    acc0 = jnp.where(first, jnp.zeros_like(o_ref[...]), o_ref[...])
+    if krb > 1:
+        iota = jax.lax.broadcasted_iota(jnp.int32, (krb, 8, Q), 0)
 
     def body(t, acc):
         for kk in range(UNROLL):                         # static inner block
@@ -108,12 +132,18 @@ def _kernel(strip_of, rowblk_of, x_ref, idx_ref, vals_ref, o_ref):
             src = jnp.broadcast_to(xs.reshape(1, 128), (8, 128))
             g = jnp.take_along_axis(src, idx_ref[k], axis=1)  # vreg gather
             contrib = vals_ref[k] * g                    # (8, 128)
-            acc = acc + (contrib[:, 0:32] + contrib[:, 32:64]
-                         + contrib[:, 64:96] + contrib[:, 96:128])
+            c = contrib[:, 0:Q]
+            for m in range(1, perrow):
+                c = c + contrib[:, m * Q:(m + 1) * Q]    # (8, Q)
+            if krb == 1:
+                acc = acc + c[None]
+            else:
+                rbl = rb_local[p * GROUP + k]
+                mask = (iota == rbl).astype(c.dtype)
+                acc = acc + mask * c[None]
         return acc
 
-    o_ref[0, :, :] = jax.lax.fori_loop(
-        0, GROUP // UNROLL, body, o_ref[0, :, :])
+    o_ref[...] = jax.lax.fori_loop(0, GROUP // UNROLL, body, acc0)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -121,11 +151,12 @@ def strip_spmv(A: StripMatrix, x: jax.Array, interpret: bool = False):
     n_pairs = A.idx.shape[0]
     assert n_pairs % GROUP == 0
     n_groups = n_pairs // GROUP
+    Q = 128 // A.perrow
     n_strips = A.n_cols_pad // 128
-    n_rb = A.n_rows_pad // ROWS_PER_TILE
+    n_rb = A.n_rows_pad // _rpt(A.perrow)
     xs = x.astype(A.dtype).reshape(n_strips, 128)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(n_groups,),
         in_specs=[
             pl.BlockSpec((n_strips, 128), lambda p, *_: (0, 0),
@@ -136,103 +167,142 @@ def strip_spmv(A: StripMatrix, x: jax.Array, interpret: bool = False):
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, 8, 128 // PERROW),
-            lambda p, strip_of, rowblk_of: (rowblk_of[p], 0, 0),
+            (A.krb, 8, Q),
+            lambda p, sb_of, strip_of, rb_local: (sb_of[p], 0, 0),
             memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
-        _kernel,
-        out_shape=jax.ShapeDtypeStruct((n_rb, 8, 128 // PERROW), A.dtype),
+        functools.partial(_kernel, perrow=A.perrow, krb=A.krb),
+        out_shape=jax.ShapeDtypeStruct((n_rb, 8, Q), A.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(A.strip_of, A.rowblk_of, xs, A.idx, A.vals)
-    # out[rb, i, q] = row rb*256 + i + 8q -> linear order is (rb, q, i)
+    )(A.sb_of, A.strip_of, A.rb_local, xs, A.idx, A.vals)
+    # out[rb, i, q] = row rb*RPT + i + 8q -> linear order is (rb, q, i)
     return out.transpose(0, 2, 1).reshape(-1)
 
 
-def strip_from_csr(A: sp.spmatrix, dtype=jnp.float32) -> StripMatrix:
-    """Host conversion CSR -> strip-gather pairs."""
-    A = A.tocsr()
-    n, m = A.shape
-    n_rows_pad = pad_to(n, ROWS_PER_TILE)
-    n_cols_pad = pad_to(m)
-    coo = A.tocoo()
-    rb = coo.row // ROWS_PER_TILE
-    strip = coo.col // 128
-    lane = coo.col % 128
-    sub = coo.row % 8                       # sublane within the tile
-    q = (coo.row % ROWS_PER_TILE) // 8      # PERROW-group within the lane dim
+def _plan(row, col, n, m, perrow):
+    """Pair layout for one perrow candidate. Returns
+    (pair_rb, pair_strip, replica, slot, inv, krb, padded_pairs, score)."""
+    rpt = _rpt(perrow)
+    n_strips = pad_to(m) // 128
+    n_rows_pad = pad_to(n, rpt)
+    n_rb = n_rows_pad // rpt
+    rb = row // rpt
+    strip = col // 128
 
-    # per (rb, strip, row) running slot index k; entries with k >= PERROW
+    # per (rb, strip, row) running slot index k; entries with k >= perrow
     # overflow into a REPEATED pair (same rb/strip, next replica)
-    order = np.lexsort((coo.col, coo.row))
-    key_rsr = (rb.astype(np.int64) * (n_cols_pad // 128) + strip) * n_rows_pad \
-        + coo.row
-    k = np.zeros(coo.nnz, dtype=np.int64)
-    if coo.nnz:
+    key_rsr = (rb.astype(np.int64) * n_strips + strip) * n_rows_pad + row
+    order = np.argsort(key_rsr, kind="stable")
+    k = np.zeros(row.size, dtype=np.int64)
+    if row.size:
         kr = key_rsr[order]
         same = np.concatenate([[False], kr[1:] == kr[:-1]])
-        # vectorized position within equal-key runs
         breaks = np.flatnonzero(~same)
         seg_id = np.cumsum(~same) - 1
         starts = breaks[seg_id]
-        k[order] = np.arange(coo.nnz) - starts
-    replica = k // PERROW
-    slot_in_row = k % PERROW
+        k[order] = np.arange(row.size) - starts
+    replica = k // perrow
+    slot = k % perrow
 
-    # pair key: (rb, strip, replica) — rb-major order keeps each row-block's
-    # pairs CONSECUTIVE; every rb's run is padded to a multiple of GROUP
-    # with zero filler pairs (and empty row-blocks get a filler run) so each
-    # grid step's GROUP pairs share one output block.
-    n_strips = n_cols_pad // 128
-    n_rb_total = n_rows_pad // ROWS_PER_TILE
-    pkey = (rb.astype(np.int64) * n_strips + strip) * 64 + np.minimum(replica, 63)
-    uniq, inv = np.unique(pkey, return_inverse=True) if coo.nnz else \
-        (np.array([], dtype=np.int64), np.array([], dtype=np.int64))
-    pair_rb = (uniq // (64 * n_strips)).astype(np.int64)
-    pair_strip = ((uniq // 64) % n_strips).astype(np.int32)
+    cap = 128 // perrow          # replica < cap (<=128 entries/row/strip)
+    pkey = ((rb.astype(np.int64) * n_strips + strip) * cap
+            + np.minimum(replica, cap - 1))
+    if row.size:
+        uniq, inv = np.unique(pkey, return_inverse=True)
+    else:
+        uniq = np.array([], dtype=np.int64)
+        inv = np.array([], dtype=np.int64)
+    pair_rb = (uniq // (cap * n_strips)).astype(np.int64)
+    pair_strip = ((uniq // cap) % n_strips).astype(np.int32)
 
-    counts = np.bincount(pair_rb, minlength=n_rb_total)
+    # pick krb: traffic (padded pairs) vs VPU mask work (krb/2 cycles/pair)
+    best = None
+    for krb in _KRB_CANDIDATES:
+        n_sb = -(-n_rb // krb)
+        counts = np.bincount(pair_rb // krb, minlength=n_sb)
+        padded = int(np.maximum(
+            GROUP, ((counts + GROUP - 1) // GROUP) * GROUP).sum())
+        score = padded * (10.0 + krb / 2.0 + perrow / 4.0)
+        if best is None or score < best[2]:
+            best = (krb, padded, score)
+    krb, padded_pairs, score = best
+    return dict(pair_rb=pair_rb, pair_strip=pair_strip, uniq=uniq, inv=inv,
+                replica=replica, slot=slot, krb=krb,
+                padded_pairs=padded_pairs, score=score,
+                n_rb=n_rb, n_rows_pad=n_rows_pad, n_strips=n_strips,
+                perrow=perrow, rpt=rpt)
+
+
+def _best_plan(row, col, n, m, perrow=None):
+    cands = (perrow,) if perrow else _PERROW_CANDIDATES
+    plans = [_plan(row, col, n, m, pr) for pr in cands]
+    return min(plans, key=lambda p: p["score"])
+
+
+def strip_from_csr(A: sp.spmatrix, dtype=jnp.float32,
+                   perrow: int | None = None) -> StripMatrix:
+    """Host conversion CSR -> strip-gather pairs (planner picks perrow/krb
+    unless ``perrow`` is forced)."""
+    A = A.tocsr()
+    n, m = A.shape
+    coo = A.tocoo()
+    pln = _best_plan(coo.row, coo.col, n, m, perrow)
+    pr, krb, rpt = pln["perrow"], pln["krb"], pln["rpt"]
+    Q = 128 // pr
+    n_rb = pln["n_rb"]
+    n_sb = -(-n_rb // krb)
+    n_rb_pad = n_sb * krb
+    n_rows_pad = n_rb_pad * rpt
+    n_strips = pln["n_strips"]
+    n_cols_pad = n_strips * 128
+
+    pair_rb, pair_strip = pln["pair_rb"], pln["pair_strip"]
+    pair_sb = pair_rb // krb
+    counts = np.bincount(pair_sb, minlength=n_sb)
     padded = np.maximum(GROUP, ((counts + GROUP - 1) // GROUP) * GROUP)
     offsets = np.cumsum(padded) - padded
     n_pairs = int(padded.sum())
 
-    # position of each real pair inside the padded layout
-    within = np.arange(uniq.size) - (np.cumsum(counts) - counts)[pair_rb]
-    pos = offsets[pair_rb] + within
+    # position of each real pair inside the padded (sb-major) layout
+    within = np.arange(pair_rb.size) - (np.cumsum(counts) - counts)[pair_sb]
+    pos = offsets[pair_sb] + within
 
     idx = np.zeros((n_pairs, 8, 128), dtype=np.int32)
     vals = np.zeros((n_pairs, 8, 128), dtype=np.float64)
     strip_of = np.zeros(n_pairs, dtype=np.int32)
-    if uniq.size:
+    rb_local = np.zeros(n_pairs, dtype=np.int32)
+    if pair_rb.size:
         strip_of[pos] = pair_strip
-        j = slot_in_row * (128 // PERROW) + q   # quarters are contiguous lanes
-        idx[pos[inv], sub, j] = lane
-        vals[pos[inv], sub, j] = coo.data
-    rowblk_grp = np.repeat(np.arange(n_rb_total), padded // GROUP) \
-        .astype(np.int32)                        # rb of each GROUP-step
+        rb_local[pos] = (pair_rb % krb).astype(np.int32)
+        sub = coo.row % 8
+        q = (coo.row % rpt) // 8
+        j = pln["slot"] * Q + q          # slot groups are contiguous lanes
+        idx[pos[pln["inv"]], sub, j] = coo.col % 128
+        vals[pos[pln["inv"]], sub, j] = coo.data
+    sb_of = np.repeat(np.arange(n_sb), padded // GROUP).astype(np.int32)
 
     return StripMatrix(
         idx=jnp.asarray(idx),
         vals=jnp.asarray(vals, dtype=dtype),
         strip_of=jnp.asarray(strip_of),
-        rowblk_of=jnp.asarray(rowblk_grp),
+        rb_local=jnp.asarray(rb_local),
+        sb_of=jnp.asarray(sb_of),
         shape=(n, m), nnz=int(A.nnz),
+        perrow=pr, krb=krb,
         n_rows_pad=n_rows_pad, n_cols_pad=n_cols_pad,
         n_out=pad_to(n),
     )
 
 
 def strip_bytes_estimate(A: sp.spmatrix, dtype=jnp.float32) -> int:
-    """Footprint the strip conversion would need (for format selection)."""
+    """Footprint the strip conversion would need (for format selection) —
+    runs the actual planner so the estimate matches the built matrix."""
     A = A.tocsr()
     coo = A.tocoo()
-    n_strips = pad_to(A.shape[1]) // 128
-    key = ((coo.row // ROWS_PER_TILE).astype(np.int64) * n_strips
-           + coo.col // 128)
-    n_pairs = np.unique(key).size if coo.nnz else 1
-    # replicas + GROUP padding inflate by a modest factor; 1.3 is typical
-    return int(1.3 * n_pairs * 8 * 128 * (4 + jnp.dtype(dtype).itemsize))
+    pln = _best_plan(coo.row, coo.col, A.shape[0], A.shape[1])
+    return int(pln["padded_pairs"] * 8 * 128 * (4 + jnp.dtype(dtype).itemsize))
 
 
 def strip_supported(A: sp.spmatrix, dtype=jnp.float32,
@@ -240,4 +310,4 @@ def strip_supported(A: sp.spmatrix, dtype=jnp.float32,
     """x strips + y must fit in VMEM alongside the streamed tiles."""
     n, m = A.shape
     itemsize = jnp.dtype(dtype).itemsize
-    return (pad_to(m) + pad_to(n, ROWS_PER_TILE)) * itemsize < vmem_budget
+    return (pad_to(m) + pad_to(n, 1024)) * itemsize < vmem_budget

@@ -212,8 +212,9 @@ def test_bfloat16_mid_levels():
                       tol=1e-8, max_iter=60)
     assert float(res.rel_res) < 1e-8
     assert str(hier.levels[-1].A.dtype) == "bfloat16"
-    # coarsest LU must have been promoted to at least f32
-    assert hier.coarse_lu.lu.dtype in (np.dtype("float32"), np.dtype("float64"))
+    # coarsest direct solver must have been promoted to at least f32
+    fac = hier.coarse_lu.inv if hier.coarse_lu.inv is not None else hier.coarse_lu.lu
+    assert fac.dtype in (np.dtype("float32"), np.dtype("float64"))
 
 
 def test_residual_replacement_honesty():
