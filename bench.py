@@ -104,6 +104,18 @@ def main():
     spmv_s = _slope(mv_chain, A0dev, x, est_iter_s=est)
     nnz_per_s = A0dev.nnz / spmv_s
 
+    # ---- tunnel RPC floor: a value fetch costs ~26 ms through the axon
+    # tunnel regardless of device work; measure it so solve times can be
+    # reported both raw (wall) and device-side (wall - one fetch)
+    zero = jax.jit(lambda v: jnp.sum(v) * 0.0)
+    float(zero(x))
+    rpc = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(zero(x))
+        rpc.append(time.perf_counter() - t0)
+    rpc_s = float(np.median(rpc))
+
     # ---- pCG to 1e-8: iterations + solve wall time (value-fetch synced) ----
     rhs_pad = jnp.asarray(np.pad(rhs, (0, hier.n_pad - n)), dtype=dtype)
     res = S.solve_pCG(hier, rhs_pad, params=params, tol=1e-8, max_iter=100)
@@ -117,9 +129,9 @@ def main():
         times.append(time.perf_counter() - t0)
     solve_s = float(np.median(times))
     # derived V-cycle estimate: the solve is iters x (vcycle + outer matvec +
-    # dots) behind one ~26ms RPC; avoids two extra multi-minute remote
+    # dots) behind one RPC fetch; avoids two extra multi-minute remote
     # compiles of a dedicated vcycle chain
-    RPC_S = 0.026
+    RPC_S = rpc_s
     vcycle_s = max(0.0, (solve_s - RPC_S)) / max(1, iters)
 
     # ---- lean config: double aggregation (opt-in, Options docstring) ----
@@ -147,7 +159,8 @@ def main():
             "pcg_iters_to_1e8": it_l,
             "pcg_rel_res": float(res_l.rel_res),
             "pcg_solve_ms": round(solve_l * 1e3, 2),
-            "vcycle_ms_est": round(max(0.0, solve_l - 0.026) / max(1, it_l)
+            "pcg_solve_ms_device": round(max(0.0, solve_l - RPC_S) * 1e3, 2),
+            "vcycle_ms_est": round(max(0.0, solve_l - RPC_S) / max(1, it_l)
                                    * 1e3, 3),
             "setup_s": round(lean_setup_s, 2),
             "levels": info_l.sizes,
@@ -175,6 +188,8 @@ def main():
             "pcg_iters_to_1e8": iters,
             "pcg_rel_res": rel,
             "pcg_solve_ms": round(solve_s * 1e3, 2),
+            "pcg_solve_ms_device": round(max(0.0, solve_s - RPC_S) * 1e3, 2),
+            "rpc_floor_ms": round(rpc_s * 1e3, 2),
             "setup_s": round(setup_s, 2),
             "levels": info.sizes,
             "lean": lean,

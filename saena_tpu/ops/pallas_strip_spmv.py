@@ -25,8 +25,8 @@ SpMV out of that primitive:
 (streamed bytes + VPU mask work); well-filled operators get krb=1 which
 degenerates to the plain one-row-block-per-step kernel.
 
-Traffic = 8 bytes/slot (int32 idx + f32 val) at the packing factor the
-planner minimizes. The reference's moral equivalent is the CSR local loop
+Traffic = 5 bytes/slot (int8 lane idx + f32 val; 3 at bf16) at the packing
+factor the planner minimizes. The reference's moral equivalent is the CSR local loop
 (saena_matrix_matvec.cpp:68-80); the design notes for why naive gather
 kernels fail on this hardware are in pallas_spmv.py and CLAUDE.md.
 
@@ -70,7 +70,9 @@ def _rpt(perrow: int) -> int:
 class StripMatrix:
     """Strip-gather sparse matrix for the Pallas SpMV kernel."""
 
-    idx: jax.Array          # (n_pairs, 8, 128) int32 — lane index within strip
+    idx: jax.Array          # (n_pairs, 8, 128) int8 — lane index within strip
+                            # (lanes are 0..127 so int8 is lossless; 4x less
+                            # streamed index traffic, widened in-register)
     vals: jax.Array         # (n_pairs, 8, 128)
     strip_of: jax.Array     # (n_pairs,) int32 — x strip id per pair
     rb_local: jax.Array     # (n_pairs,) int32 — row-block id WITHIN superblock
@@ -130,7 +132,8 @@ def _kernel(sb_of, strip_of, rb_local, x_ref, idx_ref, vals_ref, o_ref,
             s = strip_of[p * GROUP + k]
             xs = x_ref[s, :]                             # (128,)
             src = jnp.broadcast_to(xs.reshape(1, 128), (8, 128))
-            g = jnp.take_along_axis(src, idx_ref[k], axis=1)  # vreg gather
+            lane_idx = idx_ref[k].astype(jnp.int32)          # widen in vregs
+            g = jnp.take_along_axis(src, lane_idx, axis=1)   # vreg gather
             contrib = vals_ref[k] * g                    # (8, 128)
             c = contrib[:, 0:Q]
             for m in range(1, perrow):
@@ -269,7 +272,7 @@ def strip_from_csr(A: sp.spmatrix, dtype=jnp.float32,
     within = np.arange(pair_rb.size) - (np.cumsum(counts) - counts)[pair_sb]
     pos = offsets[pair_sb] + within
 
-    idx = np.zeros((n_pairs, 8, 128), dtype=np.int32)
+    idx = np.zeros((n_pairs, 8, 128), dtype=np.int8)
     vals = np.zeros((n_pairs, 8, 128), dtype=np.float64)
     strip_of = np.zeros(n_pairs, dtype=np.int32)
     rb_local = np.zeros(n_pairs, dtype=np.int32)
@@ -302,7 +305,7 @@ def strip_bytes_estimate(A: sp.spmatrix, dtype=jnp.float32) -> int:
     A = A.tocsr()
     coo = A.tocoo()
     pln = _best_plan(coo.row, coo.col, A.shape[0], A.shape[1])
-    return int(pln["padded_pairs"] * 8 * 128 * (4 + jnp.dtype(dtype).itemsize))
+    return int(pln["padded_pairs"] * 8 * 128 * (1 + jnp.dtype(dtype).itemsize))
 
 
 def strip_supported(A: sp.spmatrix, dtype=jnp.float32,
