@@ -30,12 +30,17 @@ def eig_max_invdiag_host(A: sp.csr_matrix) -> float:
     return lam * SAFETY
 
 
-def _lanczos_host(S, m: int = 40, blocks: int = 4, rtol: float = 1e-3) -> float:
+def _lanczos_host(S, m: int = 40, blocks: int = 8, rtol: float = 1e-7) -> float:
     """Hand-rolled Lanczos with full reorthogonalization (the reference runs
     lambda_lanczos, lamlan_saena.h:13-79). ARPACK's eigsh is ~8x slower here
     for the same answer (restart machinery we don't need for one extreme
     Ritz value). The returned value is ritz + residual bound so the
-    Chebyshev interval never underestimates lambda_max."""
+    Chebyshev interval never underestimates lambda_max.
+
+    rtol is deliberately tight (1e-7): the Chebyshev interval endpoints are
+    surprisingly sensitive on hard matrices — on SiH4 (scaled) a 1e-3-loose
+    estimate at one mid level stalls pCG at rel_res 1.5e-6 while the exact
+    value converges at 1e-8 in 142 iterations (round-1 ADVICE finding)."""
     n = S.shape[0]
     rng = np.random.default_rng(0)
     v = rng.standard_normal(n)
@@ -55,7 +60,10 @@ def _lanczos_host(S, m: int = 40, blocks: int = 4, rtol: float = 1e-3) -> float:
             # full reorthogonalization (twice is enough)
             w -= V[: j + 1].T @ (V[: j + 1] @ w)
             b = float(np.linalg.norm(w))
-            if b == 0.0:
+            # relative breakdown test: Krylov exhaustion leaves a roundoff-
+            # size b; dividing by it amplifies noise into T (ADVICE r1)
+            if b <= 64 * np.finfo(np.float64).eps * max(
+                    1.0, max(abs(a) for a in alphas)):
                 T = np.diag(alphas) + np.diag(betas, 1) + np.diag(betas, -1)
                 return float(np.linalg.eigvalsh(T)[-1])
             betas.append(b)
@@ -67,7 +75,11 @@ def _lanczos_host(S, m: int = 40, blocks: int = 4, rtol: float = 1e-3) -> float:
         bound = abs(betas[-1] * evecs[-1, -1])
         if bound <= rtol * abs(ritz):
             return ritz + bound
-    return ritz + bound
+    # not converged to rtol within blocks*m steps: ritz underestimates
+    # lambda_max, which Chebyshev must never see — fall back to ARPACK
+    lam = float(spla.eigsh(S, k=1, which="LA",
+                           return_eigenvectors=False, tol=1e-10)[0])
+    return max(lam, ritz + bound)
 
 
 def _power_iteration_host(S, iters: int = 100, tol: float = 1e-5) -> float:

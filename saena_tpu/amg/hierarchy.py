@@ -455,12 +455,23 @@ def devicify(
         if jnp.dtype(dt).itemsize < 4:
             dt = jnp.float32
         n_pad = pad_to(n)
+        coarse_dense = None
         if n_pad <= 2048:
-            # host f64 inverse, zero-padded; applied as MXU matmuls
+            # host f64 inverse, zero-padded; applied as MXU matmuls. A
+            # singular/semidefinite coarsest operator (pure-Neumann) has no
+            # inverse — fall back to the unit-diag-padded LU (ADVICE r1).
+            coarse_dense = Acoarse.toarray()
+            try:
+                inv_nn = np.linalg.inv(coarse_dense)
+                if not np.isfinite(inv_nn).all():
+                    raise np.linalg.LinAlgError("non-finite inverse")
+            except np.linalg.LinAlgError:
+                coarse_dense = None
+        if coarse_dense is not None:
             inv = np.zeros((n_pad, n_pad))
-            inv[:n, :n] = np.linalg.inv(Acoarse.toarray())
+            inv[:n, :n] = inv_nn
             ad = np.zeros((n_pad, n_pad))
-            ad[:n, :n] = Acoarse.toarray()
+            ad[:n, :n] = coarse_dense
             coarse_lu = CoarseLU(
                 lu=None, piv=None, inv=jnp.asarray(inv, dtype=dt),
                 adense=jnp.asarray(ad, dtype=dt), n=n)

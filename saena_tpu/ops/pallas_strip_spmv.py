@@ -97,6 +97,10 @@ class StripMatrix:
         # interpret mode makes the kernel runnable on CPU (tests/dry runs)
         y = strip_spmv(self, x, interpret=jax.default_backend() == "cpu")
         n_out = self.n_out or self.n_rows_pad
+        if n_out > self.n_rows_pad:
+            # rpt=64 layouts (perrow=16) can leave n_rows_pad a non-multiple
+            # of 128; restore the caller's 128-padded length (ADVICE r1)
+            return jnp.pad(y, (0, n_out - self.n_rows_pad))
         return y[:n_out] if n_out != self.n_rows_pad else y
 
     def astype(self, dtype) -> "StripMatrix":

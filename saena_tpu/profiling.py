@@ -40,6 +40,8 @@ def _slope(step, x, *args, n_short=3, n_long=None, est_iter_s=None):
     short chain underflows for us-scale kernels (23 x 3 us = 70 us << RPC
     jitter) and reports nonsense; pass est_iter_s (e.g. a bytes/BW roofline)
     or let one calibration run estimate it."""
+    if n_long is not None and n_long <= n_short:
+        n_short = max(1, n_long - 1)   # keep a measurable delta (smoke tests)
     float(_chain(step, x, n_short, *args))      # compile + first-exec upload
     if n_long is None:
         if est_iter_s is None:

@@ -57,3 +57,19 @@ def test_strip_compact_storage():
     S = strip_from_csr(Ac, dtype=jnp.float32)
     strip_bytes = S.idx.nbytes + S.vals.nbytes
     assert strip_bytes < bsr_bytes_estimate(Ac, jnp.float32)
+
+
+def test_strip_perrow16_padded_output():
+    """perrow=16 (rpt=64) layouts can leave n_rows_pad a non-multiple of 128;
+    matvec must still return the caller's 128-padded length (ADVICE r1:
+    320x8192 -> krb=1 gave len(y)=320 < pad_to(320)=384)."""
+    from saena_tpu.ops.formats import pad_to
+
+    A = sp.random(320, 8192, density=0.002, random_state=11, format="csr")
+    S = strip_from_csr(A, dtype=jnp.float64, perrow=16)
+    x = jnp.asarray(np.random.default_rng(1).standard_normal(S.n_cols_pad))
+    y = S.matvec(x)
+    assert y.shape[0] == pad_to(320) == S.n_pad
+    ref = A @ np.asarray(x)[: A.shape[1]]
+    np.testing.assert_allclose(np.asarray(y)[:320], ref, rtol=1e-12, atol=1e-12)
+    assert not np.any(np.asarray(y)[320:])
