@@ -24,7 +24,7 @@ def _dot(x, y):
 def coarsest_cg(A, u, rhs, max_iter: int, tol: float):
     """Matvec-only CG for the coarsest level (ref solve_coarsest_CG,
     solve.cpp:14-114): iterate until ||r|| < tol * ||r0|| or max_iter."""
-    r = rhs - A.matvec(u)
+    r = rhs - A.matvec(u).astype(rhs.dtype)
     rr0 = _dot(r, r)
     thr = rr0 * tol * tol
 
@@ -34,7 +34,7 @@ def coarsest_cg(A, u, rhs, max_iter: int, tol: float):
 
     def body(c):
         i, u, r, p, rr = c
-        h = A.matvec(p)
+        h = A.matvec(p).astype(rhs.dtype)
         alpha = rr / _dot(p, h)
         u = u + alpha * p
         r = r - alpha * h
@@ -71,14 +71,16 @@ def vcycle(hierarchy: Hierarchy, params: SolveParams, u, rhs, lvl: int = 0,
     # 1. pre-smooth
     u = smooth(level, params, u, rhs, params.preSmooth, u_is_zero=u_is_zero)
     # 2. residual (reference sign: res = A u - rhs); fused single-pass
-    # kernel where the format has one (DiaMatrix on TPU)
+    # kernel where the format has one (DiaMatrix on TPU). Vectors stay in
+    # u's dtype — reduced-precision levels only reduce the MATVEC (ref
+    # float_level semantics, saena_object.cpp:241-285)
     fu = getattr(level.A, "fused_update", None)
-    if fu is not None:
+    if fu is not None and level.A.dtype == u.dtype:
         res = fu(u, rhs, c=-1.0, add_x=False)
     else:
-        res = level.A.matvec(u) - rhs
+        res = level.A.matvec(u).astype(u.dtype) - rhs
     # 3. restrict
-    res_c = level.R.matvec(res)
+    res_c = level.R.matvec(res).astype(u.dtype)
     # 4. recurse from a zero coarse iterate
     e_c = vcycle(hierarchy, params, jnp.zeros_like(res_c), res_c, lvl + 1)
     # 5. prolong + correct (subtract: res had flipped sign)

@@ -70,7 +70,9 @@ class Level:
 
     @property
     def dtype(self):
-        return self.A.dtype
+        # the level's VECTOR dtype; the operator (self.A.dtype) may be
+        # reduced on levels >= float_level (matvec-only mixed precision)
+        return self.inv_diag.dtype
 
 
 @_register
@@ -436,7 +438,10 @@ def devicify(
                 R_dev = _transfer_from_csr(Rs[l], dt_next)
 
         levels.append(
-            Level(A=Adev, inv_diag=jnp.asarray(inv_diag, dtype=dt),
+            # inv_diag carries the VECTOR dtype: smoother/residual arithmetic
+            # stays full-precision while A/P/R matvecs run reduced (ref
+            # float_level semantics — only vSend_f/matvec buffers are float)
+            Level(A=Adev, inv_diag=jnp.asarray(inv_diag, dtype=dtype),
                   P=P_dev, R=R_dev, n=n, lvl=l, eig_max=eig)
         )
         info.sizes.append(n)

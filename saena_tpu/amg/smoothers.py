@@ -13,11 +13,17 @@ import jax.numpy as jnp
 def _update(A, dinv, u, rhs, c: float, add_x: bool = True):
     """[u +] c * dinv * (rhs - A u). Formats with a fused single-pass
     kernel (DiaMatrix on TPU) take it; others do the XLA expression,
-    which XLA fuses into the matvec epilogue anyway."""
+    which XLA fuses into the matvec epilogue anyway.
+
+    Mixed precision follows the reference (saena_object.cpp:241-285,
+    vSend_f buffers): only the MATVEC runs in the operator's reduced dtype;
+    the residual/update arithmetic stays in the vector dtype. Low-dtype
+    vector arithmetic loses the correction signal once the residual nears
+    the low dtype's epsilon and pCG stalls (SiH4 r1 regression)."""
     fu = getattr(A, "fused_update", None)
-    if fu is not None:
+    if fu is not None and A.dtype == u.dtype:
         return fu(u, rhs, dinv=dinv, c=c, add_x=add_x)
-    z = dinv * (rhs - A.matvec(u)) * c
+    z = dinv * (rhs - A.matvec(u).astype(u.dtype)) * c
     return u + z if add_x else z
 
 

@@ -114,6 +114,23 @@ def matmat_run(A_blocks, B_blocks, mesh: Mesh, axis: str = "d",
                               precision=precision)
 
 
+# density/size switch between the dense MXU ring and the block-sparse ring
+# (the role matmat_thre1/matmat_thre2 play in the reference's fast_mm,
+# saena_object.h:75-85): dense blocks win on the MXU once operands are a
+# few-percent dense AND the O(n*m/D) block memory is affordable.
+MATMAT_DENSE_THRE = 0.01        # min operand density for the dense ring
+MATMAT_DENSE_ELEMS = 5e7        # max per-device dense-block elements
+
+
+def _use_dense_ring(A: sp.spmatrix, B: sp.spmatrix, D: int) -> bool:
+    dens_a = A.nnz / max(1, A.shape[0] * A.shape[1])
+    dens_b = B.nnz / max(1, B.shape[0] * B.shape[1])
+    elems = (A.shape[0] * A.shape[1] + B.shape[0] * B.shape[1]
+             + A.shape[0] * B.shape[1]) / max(1, D)
+    return min(dens_a, dens_b) >= MATMAT_DENSE_THRE and \
+        elems <= MATMAT_DENSE_ELEMS
+
+
 def matmat(
     A: sp.spmatrix,
     B: sp.spmatrix,
@@ -122,12 +139,21 @@ def matmat(
     dtype=jnp.float32,
     assemble: bool = True,
     tol: float = 0.0,
+    mode: str = "auto",
 ):
     """Distributed C = A @ B on the mesh (ref saena::amg::matmat,
-    setup_matmat.cpp:1164-1487). Returns scipy CSR when assemble else the
-    dense sharded blocks + row split."""
-    A_blocks, B_blocks, a_split = matmat_prepare(A, B, mesh, axis, dtype)
+    setup_matmat.cpp:1164-1487). mode: "auto" picks dense-MXU-ring vs
+    block-sparse ring by operand density (the matmat_thre1 analog);
+    "dense"/"sparse" force a path. Returns scipy CSR when assemble else
+    the dense sharded blocks + row split (dense path only)."""
     D = mesh.devices.size
+    use_dense = (mode == "dense") or (mode == "auto" and
+                                      _use_dense_ring(A, B, D))
+    if not use_dense and assemble:
+        from saena_tpu.ops.bspgemm import matmat_sparse
+        return matmat_sparse(A, B, mesh, axis=axis, dtype=dtype, tol=tol)
+
+    A_blocks, B_blocks, a_split = matmat_prepare(A, B, mesh, axis, dtype)
     C_blocks = _ring_spgemm_dense(A_blocks, B_blocks, mesh, axis)
     if not assemble:
         return C_blocks, a_split
@@ -157,9 +183,11 @@ def _blocked_pad_cols(A_csc: sp.csc_matrix, col_split: np.ndarray,
 
 def triple_product(
     R: sp.spmatrix, A: sp.spmatrix, P_: sp.spmatrix, mesh: Mesh,
-    dtype=jnp.float32, tol: float = 1e-14,
+    dtype=jnp.float32, tol: float = 1e-14, mode: str = "auto",
 ) -> sp.csr_matrix:
     """Distributed Galerkin Ac = R*A*P as two ring SpGEMMs
-    (ref triple_mat_mult, saena_object_setup2.cpp:361-849)."""
-    RA = matmat(R, A, mesh, dtype=dtype, tol=tol)
-    return matmat(RA, P_, mesh, dtype=dtype, tol=tol)
+    (ref triple_mat_mult, saena_object_setup2.cpp:361-849). Sparse fine
+    operators route through the block-sparse ring (memory ∝ nonzero
+    blocks), so device RAP scales with nnz instead of O(n^2/D)."""
+    RA = matmat(R, A, mesh, dtype=dtype, tol=tol, mode=mode)
+    return matmat(RA, P_, mesh, dtype=dtype, tol=tol, mode=mode)

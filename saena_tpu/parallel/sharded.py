@@ -351,16 +351,18 @@ def sharded_vcycle(sh: ShardedHierarchy, params: SolveParams, u, rhs,
     last_sharded = lvl == len(levels) - 1
 
     u = _psmooth(level, params, u, rhs, params.preSmooth, u_is_zero=u_is_zero)
-    res = level.A.matvec(u) - rhs
+    # vectors stay in u's dtype; reduced-precision levels only reduce the
+    # MATVEC (ref float_level semantics, saena_object.cpp:241-285)
+    res = level.A.matvec(u).astype(u.dtype) - rhs
 
     if not last_sharded:
-        res_c = level.R_next.matvec(res)
+        res_c = level.R_next.matvec(res).astype(u.dtype)
         e_c = sharded_vcycle(sh, params, jnp.zeros_like(res_c), res_c, lvl + 1)
         u = u - level.P_next.matvec(e_c).astype(u.dtype)
     else:
         # transition to the replicated tail: psum-reduced restriction,
         # serial vcycle on replicated data, collective-free prolongation.
-        res_c = sh.trans_R.matvec(res)                      # replicated (n_c_pad,)
+        res_c = sh.trans_R.matvec(res).astype(u.dtype)      # replicated (n_c_pad,)
         e_c = serial_vcycle(sh.replicated, params,
                             jnp.zeros_like(res_c), res_c)
         u = u - sh.trans_P.matvec(e_c).astype(u.dtype)
@@ -887,7 +889,8 @@ def shard_hierarchy(
                                        fmt=sharded_format)
 
         sharded_levels.append(
-            ShardedLevel(A=Ash, inv_diag=jnp.asarray(inv_d, dtype=dt),
+            # inv_diag carries the VECTOR dtype (matvec-only mixed precision)
+            ShardedLevel(A=Ash, inv_diag=jnp.asarray(inv_d, dtype=dtype),
                          R_next=R_next, P_next=P_next,
                          n=A.shape[0], lvl=l, eig_max=eig)
         )
@@ -907,9 +910,11 @@ def shard_hierarchy(
 
         tail_opts = dataclasses.replace(
             opts, float_level=max(0, opts.float_level - n_sharded))
+        # the tail's VECTOR dtype stays full precision; operators below
+        # float_level still devicify reduced (matvec-only mixed precision)
         replicated, _ = devicify(
             csr_levels[n_sharded:], Ps[n_sharded:], Rs[n_sharded:],
-            tail_opts, dtype=(low_dtype if n_sharded >= opts.float_level else dtype),
+            tail_opts, dtype=dtype,
         )
     else:
         raise NotImplementedError(

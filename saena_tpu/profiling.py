@@ -75,7 +75,9 @@ def profile_matvecs(hierarchy, n_iter: int | None = None) -> list[dict]:
         x = jnp.ones(lv.n_pad, dtype=lv.dtype)
 
         def step(v, A):
-            return A.matvec(v)
+            # reduced-precision operators return their own dtype; keep the
+            # chain carry at the vector dtype (matvec-only mixed precision)
+            return A.matvec(v).astype(v.dtype)
 
         dt = _slope(step, x, lv.A, n_long=n_iter)
         rows.append({
