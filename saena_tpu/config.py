@@ -94,9 +94,13 @@ class Options:
                                        # 0/1 or missing = decide automatically)
     halo_mode: str = "exchange"        # "exchange" (packed all_to_all) | "allgather"
     compress_halo: bool = False        # ZFP-analog: reduced-precision halo payloads
-    halo_dtype: str = "bfloat16"       # payload dtype when compress_halo:
-                                       # "bfloat16"|"float16" (rate 16) or
-                                       # "float8_e4m3fn" (rate 8, ZFP analog)
+    halo_dtype: str = "bfloat16"       # payload when compress_halo:
+                                       # "bfloat16"|"float16" (rate-16 cast),
+                                       # "float8_e4m3fn" (rate-8 cast), or
+                                       # "int8_block" (TRUE fixed-rate codec:
+                                       # block-scaled int8, shared power-of-2
+                                       # exponent per 128-lane chunk — the
+                                       # honest saena_matrix_zfp.cpp analog)
 
     # ---- misc ----
     remove_boundary: bool = False

@@ -77,8 +77,15 @@ class ShardedEll:
     cols: jax.Array              # (D, width, n_rows_pad) int32
     vals: jax.Array              # (D, width, n_rows_pad)
     plan: HaloPlan
-    shape: tuple = _static()     # logical global (n_rows, n_cols)
-    nnz: int = _static()
+    # COO spill for rows longer than the quantile width (hybrid ELL — the
+    # sharded port of ops/formats.py ell_from_csr's skew handling, VERDICT
+    # r1 #5): one Florida-style 5000-nnz row no longer multiplies the
+    # (D, width, n_rows_pad) footprint. Zero-length when no spill.
+    spill_rows: Optional[jax.Array] = None   # (D, S) int32 — local row ids
+    spill_cols: Optional[jax.Array] = None   # (D, S) int32 — extended col ids
+    spill_vals: Optional[jax.Array] = None   # (D, S)
+    shape: tuple = _static(default=(0, 0))   # logical global (n_rows, n_cols)
+    nnz: int = _static(default=0)
     reduce_rows: bool = _static(default=False)  # True: rows replicated, psum output
 
     @property
@@ -92,6 +99,9 @@ class ShardedEll:
         x_ext = self.plan.extend(x_loc.astype(self.dtype), exact=exact)
         g = jnp.take(x_ext, self.cols[0], axis=0)       # (width, n_rows_pad)
         y = jnp.sum(self.vals[0] * g, axis=0)
+        if self.spill_rows is not None and self.spill_rows.shape[-1]:
+            y = y.at[self.spill_rows[0]].add(
+                self.spill_vals[0] * jnp.take(x_ext, self.spill_cols[0]))
         if self.reduce_rows:
             y = jax.lax.psum(y, self.plan.axis)
         return y
@@ -158,25 +168,53 @@ class ShardedDia:
         return self.data.dtype
 
     def _extend(self, x_loc: jax.Array, exact: bool) -> jax.Array:
+        """Halo slabs from up to k neighbors per side. Single-hop sends only
+        the boundary slab; wider bands (lo/hi_pad > n_loc, VERDICT r1 #8)
+        chain k ppermutes of whole blocks — device d accumulates the blocks
+        of d-1..d-k (resp. d+1..d+k) and slices the needed slab. Devices
+        near the domain edge receive zeros beyond it, preserving the
+        zero-padding invariant."""
         D = jax.lax.psum(1, self.axis)
+
+        def xfer(v, perm):
+            """One compressed hop. Slabs and blocks are 128-multiples, so
+            the int8_block codec applies directly; its power-of-2 scales
+            make per-hop re-encoding idempotent (no error compounding on
+            multi-hop chains)."""
+            if self.compress == "int8_block" and not exact:
+                from saena_tpu.parallel.halo import (int8_block_decode,
+                                                     int8_block_encode)
+                buf = jax.lax.ppermute(int8_block_encode(v), self.axis,
+                                       perm=perm)
+                return int8_block_decode(buf, x_loc.dtype)
+            if self.compress and not exact:
+                v = v.astype(jnp.dtype(self.compress))
+            return jax.lax.ppermute(v, self.axis, perm=perm).astype(
+                x_loc.dtype)
+
+        def hops(send0, perm, k, take_tail):
+            cur = send0
+            blocks = []
+            for _ in range(k):
+                cur = xfer(cur, perm)
+                blocks.append(cur)
+            if k == 1:
+                return blocks[0]
+            cat = jnp.concatenate(blocks[::-1] if take_tail else blocks)
+            return cat[-self.lo_pad:] if take_tail else cat[: self.hi_pad]
+
         parts = []
         if self.lo_pad:
-            send = x_loc[-self.lo_pad:]
-            if self.compress and not exact:
-                send = send.astype(jnp.dtype(self.compress))
-            left = jax.lax.ppermute(
-                send, self.axis,
-                perm=[(j, j + 1) for j in range(D - 1)])
-            parts.append(left.astype(x_loc.dtype))
+            k = -(-self.lo_pad // self.n_loc)
+            send = x_loc[-self.lo_pad:] if k == 1 else x_loc
+            parts.append(hops(send, [(j, j + 1) for j in range(D - 1)],
+                              k, take_tail=True))
         parts.append(x_loc)
         if self.hi_pad:
-            send = x_loc[: self.hi_pad]
-            if self.compress and not exact:
-                send = send.astype(jnp.dtype(self.compress))
-            right = jax.lax.ppermute(
-                send, self.axis,
-                perm=[(j, j - 1) for j in range(1, D)])
-            parts.append(right.astype(x_loc.dtype))
+            k = -(-self.hi_pad // self.n_loc)
+            send = x_loc[: self.hi_pad] if k == 1 else x_loc
+            parts.append(hops(send, [(j, j - 1) for j in range(1, D)],
+                              k, take_tail=False))
         return jnp.concatenate(parts) if len(parts) > 1 else x_loc
 
     def _ext_offsets(self) -> tuple:
@@ -437,30 +475,63 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "d") -> Mesh:
     return Mesh(np.asarray(devs), (axis,))
 
 
-def _shard_csr_rows(A: sp.csr_matrix, split: np.ndarray, n_rows_pad: int):
-    """Per-device row blocks: (cols_slotmajor, vals_slotmajor, rowcols) with
-    a COMMON width across devices (static shapes)."""
+def _shard_csr_rows(A: sp.csr_matrix, split: np.ndarray, n_rows_pad: int,
+                    width_quantile: float = 0.98):
+    """Per-device row blocks: (cols_slotmajor, vals_slotmajor, spill,
+    rowcols) with a COMMON width across devices (static shapes).
+
+    Hybrid width (the sharded port of ell_from_csr's quantile+spill,
+    VERDICT r1 #5): the slot-major width is cut at the GLOBAL row-nnz
+    quantile and longer rows spill to per-device COO triples, so one
+    skewed Florida-style row no longer inflates every device's block."""
     D = len(split) - 1
     A = A.tocsr()
-    width = 1
-    blocks = []
-    for d in range(D):
-        B = A[split[d]: split[d + 1]]
-        blocks.append(B)
-        if B.shape[0]:
-            width = max(width, int(np.diff(B.indptr).max()))
+    nnz_per_row = np.diff(A.indptr)
+    if nnz_per_row.size == 0 or A.nnz == 0:
+        width = 1
+    elif width_quantile >= 1.0:
+        width = int(nnz_per_row.max())
+    else:
+        width = max(1, int(np.quantile(nnz_per_row, width_quantile)))
+        spill_cnt = int(np.maximum(nnz_per_row - width, 0).sum())
+        if spill_cnt > 0.1 * A.nnz:       # don't spill more than ~10% of nnz
+            width = int(nnz_per_row.max())
+    blocks = [A[split[d]: split[d + 1]] for d in range(D)]
+
     cols = np.zeros((D, width, n_rows_pad), dtype=np.int64)
     vals = np.zeros((D, width, n_rows_pad), dtype=np.float64)
+    sp_r, sp_c, sp_v = [], [], []
     rowcols = []
     for d, B in enumerate(blocks):
         nb = B.shape[0]
         cnt = np.diff(B.indptr)
-        rows_idx = np.repeat(np.arange(nb), cnt)
-        slot = _ranges(cnt)
-        cols[d, slot, rows_idx] = B.indices
-        vals[d, slot, rows_idx] = B.data
+        take = np.minimum(cnt, width)
+        rows_idx = np.repeat(np.arange(nb), take)
+        slot = _ranges(take)
+        src = B.indptr[:-1].repeat(take) + slot
+        cols[d, slot, rows_idx] = B.indices[src]
+        vals[d, slot, rows_idx] = B.data[src]
+        over = cnt - take
+        s_src = (B.indptr[:-1] + take).repeat(over) + _ranges(over)
+        sp_r.append(np.repeat(np.arange(nb), over).astype(np.int64))
+        sp_c.append(B.indices[s_src].astype(np.int64))
+        sp_v.append(B.data[s_src])
         rowcols.append(np.unique(B.indices))
-    return cols, vals, rowcols, width
+
+    S = max(len(r) for r in sp_r) if sp_r else 0
+    if S == 0:
+        spill = None
+    else:
+        srows = np.zeros((D, S), dtype=np.int64)
+        scols = np.zeros((D, S), dtype=np.int64)
+        svals = np.zeros((D, S), dtype=np.float64)
+        for d in range(D):
+            k = len(sp_r[d])
+            srows[d, :k] = sp_r[d]
+            scols[d, :k] = sp_c[d]
+            svals[d, :k] = sp_v[d]
+        spill = (srows, scols, svals)
+    return cols, vals, spill, rowcols, width
 
 
 def _ranges(counts: np.ndarray) -> np.ndarray:
@@ -498,7 +569,8 @@ def _build_sharded_ell(
 ) -> ShardedEll:
     D = len(row_split) - 1
     n_rows_pad = pad_to(int(np.max(np.diff(row_split))) if D else 1)
-    cols, vals, rowcols, width = _shard_csr_rows(A, row_split, n_rows_pad)
+    cols, vals, spill, rowcols, width = _shard_csr_rows(
+        A, row_split, n_rows_pad)
     plan, remap = build_halo_plan(rowcols, col_split, mode=mode, axis=axis,
                                   compress=compress)
     if plan.send_idx.shape[0] != D:
@@ -506,10 +578,20 @@ def _build_sharded_ell(
         plan = dataclasses.replace(
             plan, send_idx=jnp.zeros((D, D, 1), dtype=jnp.int32))
     lcols = _remap_cols(cols, vals, remap)
+    sr = sc = sv = None
+    if spill is not None:
+        srows, scols, svals = spill
+        sc = _remap_cols(scols[:, None, :], svals[:, None, :], remap)[:, 0, :]
+        sr = jnp.asarray(srows.astype(np.int32))
+        sc = jnp.asarray(sc)
+        sv = jnp.asarray(svals, dtype=dtype)
     return ShardedEll(
         cols=jnp.asarray(lcols),
         vals=jnp.asarray(vals, dtype=dtype),
         plan=plan,
+        spill_rows=sr,
+        spill_cols=sc,
+        spill_vals=sv,
         shape=A.shape,
         nnz=int(A.nnz),
         reduce_rows=reduce_rows,
@@ -644,8 +726,10 @@ def sharded_dia_plan(A: sp.csr_matrix, D: int, d_active: int, dtype,
     lo = max(0, -int(offs.min()))
     hi = max(0, int(offs.max()))
     lo_pad, hi_pad = pad_to(lo), pad_to(hi)
-    if lo_pad > n_loc or hi_pad > n_loc:
-        return None                      # halo would need multi-hop
+    # multi-hop halos (k chained ppermutes) cover bands wider than one
+    # block; past half the domain the operator is effectively dense
+    if lo_pad > (d_active - 1) * n_loc or hi_pad > (d_active - 1) * n_loc:
+        return None
     offsets = tuple(int(o) for o in offs)
     ext_len = lo_pad + n_loc + hi_pad
     if not dia_supported(tuple(o + lo_pad for o in offsets), n_loc,

@@ -357,3 +357,122 @@ def test_sharded_dia_matvec_exact(mesh):
     ref = A @ x
     np.testing.assert_allclose(y.reshape(-1)[: A.shape[0]], ref,
                                rtol=5e-5, atol=5e-4)
+
+
+def test_sharded_ell_spill_skewed_row(mesh):
+    """Hybrid ELL spill on the mesh (VERDICT r1 #5): one 5000-nnz row must
+    not inflate the (D, width, n_rows_pad) footprint — the block width
+    stays at the quantile and the long row spills to COO triples."""
+    import scipy.sparse as sp
+
+    n = 6000
+    A = random_symm_matrix(n, 0.002, seed=13).tolil()
+    A[7, :5000] = 1e-3
+    A[:5000, 7] = 1e-3
+    A = A.tocsr()
+    A.setdiag(A.diagonal() + 10.0)
+    split = nnz_balanced_split(A, D)
+    sh = _build_sharded_ell(A, split, split, jnp.float64, "exchange", "d")
+    width = sh.vals.shape[1]
+    assert width < 100, f"width {width} — spill did not engage"
+    assert sh.spill_rows is not None
+    # footprint within 2x of the serial hybrid-ELL footprint
+    from saena_tpu.ops.formats import ell_from_csr
+    serial = ell_from_csr(A, dtype=jnp.float64, width_quantile=0.98)
+    sharded_elems = sh.vals.size + (sh.spill_vals.size if sh.spill_vals
+                                    is not None else 0)
+    serial_elems = serial.vals.size + serial.spill_vals.size
+    assert sharded_elems <= 2 * serial_elems
+
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal(n)
+    xb = jnp.asarray(blocked_pad_vector(x, split))
+
+    def body(m, xloc):
+        return m.matvec(xloc[0])[None]
+
+    y = jax.shard_map(
+        lambda m, v: body(m, v), mesh=mesh,
+        in_specs=(P("d"), P("d")), out_specs=P("d"), check_vma=False,
+    )(sh, xb.reshape(D, -1))
+    y_full = unblock_vector(np.asarray(y).reshape(D, -1), split)
+    np.testing.assert_allclose(y_full, A @ x, rtol=1e-12, atol=1e-12)
+
+
+def test_sharded_dia_multihop_wide_band(mesh):
+    """Wide-stencil DIA halos: lo/hi_pad > n_loc chains k ppermutes instead
+    of falling back to ELL/BSR (VERDICT r1 #8). A dense 600-band has 1201
+    diagonals — past the DIA format cap on any path — so the honest
+    multi-hop case is a wide SPARSE stencil: offsets {0, +-1, +-900} on
+    n=3000 over 8 devices -> n_loc=384, halo 1024 -> 3 hops per side."""
+    import scipy.sparse as sp
+    from saena_tpu.parallel.sharded import _build_sharded_dia, sharded_dia_plan
+
+    n = 3000
+    A = sp.diags([4.0] * 1 + [-1.0] * 4,
+                 [0, 1, -1, 900, -900],
+                 shape=(n, n), format="csr")
+    D = mesh.devices.size
+    plan = sharded_dia_plan(A, D, D, jnp.float32)
+    assert plan is not None, "multi-hop plan must not bail"
+    split, n_loc, lo_pad, hi_pad, offsets = plan
+    assert lo_pad > n_loc and hi_pad > n_loc   # genuinely multi-hop
+    Ash = _build_sharded_dia(A, plan, jnp.float32, mesh.axis_names[0], D)
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal(A.shape[0])
+    xb = np.zeros(D * n_loc, np.float32)
+    xb[: A.shape[0]] = x
+
+    f = jax.shard_map(
+        lambda Am, v: Am.matvec(v[0], exact=True)[None], mesh=mesh,
+        in_specs=(jax.tree.map(lambda _: P("d"), Ash), P("d")),
+        out_specs=P("d"), check_vma=False)
+    y = np.asarray(f(Ash, jnp.asarray(xb.reshape(D, n_loc))))
+    np.testing.assert_allclose(y.reshape(-1)[: A.shape[0]], A @ x,
+                               rtol=5e-5, atol=5e-4)
+
+
+def test_int8_block_codec_roundtrip():
+    """Block-scaled int8 codec: rate 129/512 of f32 on the wire, relative
+    error <= 2^-7 per chunk, idempotent re-encoding (power-of-2 scales)."""
+    from saena_tpu.parallel.halo import int8_block_decode, int8_block_encode
+
+    rng = np.random.default_rng(7)
+    v = jnp.asarray(rng.standard_normal((4, 512)) *
+                    10.0 ** rng.integers(-8, 8, size=(4, 512)))
+    buf = int8_block_encode(v)
+    assert buf.dtype == jnp.int8 and buf.shape == (4, 4, 129)
+    out = int8_block_decode(buf, v.dtype)
+    amax = np.max(np.abs(np.asarray(v).reshape(4, 4, 128)), axis=-1,
+                  keepdims=True)
+    err = np.abs(np.asarray(out).reshape(4, 4, 128) -
+                 np.asarray(v).reshape(4, 4, 128))
+    assert (err <= amax / 127.0 + 1e-300).all()
+    # idempotent: encode(decode(encode(v))) == encode(v)
+    buf2 = int8_block_encode(out)
+    np.testing.assert_array_equal(np.asarray(buf), np.asarray(buf2))
+    # zero chunks stay zero
+    z = int8_block_decode(int8_block_encode(jnp.zeros((2, 256))), jnp.float64)
+    assert not np.any(np.asarray(z))
+
+
+def test_sharded_pcg_int8_block_halo(mesh):
+    """True fixed-rate halo codec on the preconditioner path (VERDICT r1
+    #7): wire bytes 129/512 of f32, outer Krylov exact, convergence to the
+    true 1e-7 residual preserved."""
+    A, rhs = _poisson_interior(20)
+    opts = Options(replicate_threshold=500, compress_halo=True,
+                   halo_dtype="int8_block")
+    hier, info = H.setup(A, opts)
+    params = H.SolveParams.from_options(opts)
+    sh, splits = shard_hierarchy(info, opts, mesh)
+    u, iters, r0, rfin, hist = sharded_solve_pCG(
+        sh, splits, rhs, mesh, params=params, tol=1e-8, max_iter=100)
+    assert np.linalg.norm(rhs - A @ u) / np.linalg.norm(rhs) < 1e-7
+    # same iteration count as the uncompressed run (gate: unchanged)
+    opts0 = Options(replicate_threshold=500)
+    sh0, splits0 = shard_hierarchy(H.setup(A, opts0)[1], opts0, mesh)
+    _, iters0, *_ = sharded_solve_pCG(
+        sh0, splits0, rhs, mesh, params=H.SolveParams.from_options(opts0),
+        tol=1e-8, max_iter=100)
+    assert abs(int(iters) - int(iters0)) <= 2
