@@ -25,9 +25,58 @@ def eig_max_invdiag_host(A: sp.csr_matrix) -> float:
     if n <= 512:
         w = np.linalg.eigvalsh(np.asarray(S.todense()))
         lam = float(w[-1])
+    elif n <= 6144:
+        # hard matrices (SiH4) are hypersensitive to the Chebyshev
+        # endpoint — a +1.6e-4 lambda error costs +40% pCG iterations —
+        # and their mid-size levels afford the O(m^2 n) reorthogonalized
+        # sweep that delivers ~1e-6 accuracy (the BLAS-2 sweep is ~1 s at
+        # n=6k and unacceptable at n~12k, hence the gate)
+        lam = _lanczos_reorth_host(S)
     else:
         lam = _lanczos_host(S)
     return lam * SAFETY
+
+
+def _lanczos_reorth_host(S, m: int = 40, blocks: int = 6,
+                         rtol: float = 1e-7) -> float:
+    """Lanczos with full reorthogonalization for mid-size levels: the
+    residual bound keeps decaying past orthogonality loss, so the returned
+    ritz + bound is within ~rtol of lambda_max — what Chebyshev needs on
+    endpoint-sensitive matrices. O(m^2 n); gated to n <= 6144 by the
+    caller."""
+    n = S.shape[0]
+    rng = np.random.default_rng(0)
+    v = rng.standard_normal(n)
+    v /= np.linalg.norm(v)
+    V = np.empty((blocks * m + 1, n))
+    V[0] = v
+    alphas, betas = [], []
+    j = 0
+    ritz = bound = 0.0
+    for blk in range(blocks):
+        for _ in range(m):
+            w = S @ V[j]
+            a = float(V[j] @ w)
+            alphas.append(a)
+            w -= a * V[j]
+            if j > 0:
+                w -= betas[-1] * V[j - 1]
+            w -= V[: j + 1].T @ (V[: j + 1] @ w)   # full reorth
+            b = float(np.linalg.norm(w))
+            if b <= 64 * np.finfo(np.float64).eps * max(
+                    1.0, max(abs(x) for x in alphas)):
+                T = np.diag(alphas) + np.diag(betas, 1) + np.diag(betas, -1)
+                return float(np.linalg.eigvalsh(T)[-1])
+            betas.append(b)
+            V[j + 1] = w / b
+            j += 1
+        T = np.diag(alphas) + np.diag(betas[:-1], 1) + np.diag(betas[:-1], -1)
+        evals, evecs = np.linalg.eigh(T)
+        ritz = float(evals[-1])
+        bound = abs(betas[-1] * evecs[-1, -1])
+        if bound <= rtol * abs(ritz):
+            return ritz + bound
+    return ritz + bound
 
 
 def _lanczos_host(S, m: int = 96, rtol: float = 1e-6) -> float:
@@ -75,7 +124,10 @@ def _lanczos_host(S, m: int = 96, rtol: float = 1e-6) -> float:
         if (j + 1) % 4 == 0 or j == m - 1:
             ritz, bound = _top_ritz()
             # converged when the residual bound is small or the max Ritz
-            # value has stagnated (bound shrinks slowly on clustered tops)
+            # value has stagnated (bound shrinks slowly on clustered tops,
+            # where a modest overestimate is harmless — large fine levels
+            # take this path; endpoint-sensitive matrices are mid-size and
+            # get _lanczos_reorth_host's tight bound instead)
             if bound <= 1e-4 * abs(ritz) or \
                     abs(ritz - ritz_prev) <= rtol * abs(ritz):
                 return ritz + min(bound, 1e-3 * abs(ritz))

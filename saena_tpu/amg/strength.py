@@ -16,11 +16,16 @@ import scipy.sparse as sp
 
 def _row_reduce(ufunc, vals, rows, n, identity):
     """Per-row ufunc reduction of (rows, vals) pairs with rows NOT assumed
-    sorted — sorts once, then uses reduceat (ufunc.at is ~20x slower)."""
+    sorted — sorts once, then uses reduceat (ufunc.at is ~20x slower).
+    CSR-derived COO rows are already sorted; the O(nnz) check skips the
+    O(nnz log nnz) argsort on every multi-Mnnz coarse level."""
     if vals.size == 0:
         return np.full(n, identity)
-    order = np.argsort(rows, kind="stable")
-    rs, vs = rows[order], vals[order]
+    if rows.size > 1 and (rows[1:] >= rows[:-1]).all():
+        rs, vs = rows, vals
+    else:
+        order = np.argsort(rows, kind="stable")
+        rs, vs = rows[order], vals[order]
     starts = np.searchsorted(rs, np.arange(n))
     out = np.full(n, identity, dtype=vals.dtype if vals.dtype.kind == "f" else np.float64)
     nonempty = starts < vs.size

@@ -252,14 +252,42 @@ class AMG:
         return self
 
     def update3(self, A_new: Matrix) -> "AMG":
-        """Diff-propagating update; result equals update2 (the reference
-        propagates only local diffs as an optimization, lazy.cpp:1169-2316)."""
-        old = self.info.csr_levels[0] if self.info else None
-        if old is not None and old.nnz == A_new.csr.nnz:
-            diff = (A_new.csr - old)
-            if diff.nnz == 0:
-                return self
-        return self.update2(A_new)
+        """Diff-propagating update (ref design: saena_object_lazy.cpp:
+        1169-2316 local_diff + compute_coarsen_update_Ac): the sparse
+        delta D = A_new - A_old is pushed through the EXISTING transfers,
+        Ac += R D P per level. When only a few entries changed, each R D P
+        is a product of tiny sparse operands — far cheaper than update2's
+        full Galerkin recompute. Falls back to update2 when the pattern
+        changed or most of the matrix did (diff nnz > 25% of A), matching
+        the reference's intent that update3 serves LOCAL value changes.
+
+        Semantics note (same as the reference): the per-level filter/lump
+        is NOT re-applied to the propagated diff — coarse operators equal
+        filter(R A_old P) + R D P, not filter(R A_new P). With
+        filter_thre=0 the result is exactly update2's."""
+        if self.info is None:
+            raise ValueError("set_matrix() first")
+        old = self.info.csr_levels[0]
+        csr = A_new.csr
+        if old.shape != csr.shape:
+            return self.update2(A_new)
+        D = (csr - old).tocsr()
+        D.eliminate_zeros()
+        if D.nnz == 0:
+            return self
+        if D.nnz > 0.25 * max(1, csr.nnz):
+            return self.update2(A_new)
+        levels = [csr]
+        for P, R, Ac_old in zip(self.info.Ps, self.info.Rs,
+                                self.info.csr_levels[1:]):
+            D = (R @ D @ P).tocsr()
+            Ac = (Ac_old + D).tocsr()
+            Ac.sort_indices()
+            levels.append(Ac)
+        self.info.csr_levels = levels
+        self._matrix = A_new
+        self._redevicify()
+        return self
 
     def _redevicify(self):
         self.hierarchy, info = _hier.devicify(

@@ -340,15 +340,20 @@ def bsr_from_csr(A: sp.spmatrix, dtype=jnp.float32) -> BsrMatrix:
 
 
 def bsr_bytes_estimate(A: sp.spmatrix, dtype=jnp.float32) -> int:
-    """Storage the BSR conversion would need (for format selection)."""
+    """Storage the BSR conversion would need (for format selection).
+    Block dedup via coo_tocsr's counting sort — O(nnz), not the
+    O(nnz log nnz) np.unique sort (this runs twice per level in the RCM
+    footprint comparison)."""
     A = A.tocsr()
     coo = A.tocoo()
-    n_bc = pad_to(A.shape[1]) // 128
-    key = (coo.row // 8).astype(np.int64) * n_bc + coo.col // 128
-    uniq = np.unique(key)
-    u_br = uniq // n_bc
-    W = max(1, int(np.bincount(u_br).max())) if uniq.size else 1
     n_br = pad_to(A.shape[0]) // 8
+    n_bc = pad_to(A.shape[1]) // 128
+    if coo.row.size == 0:
+        return n_br * 8 * 128 * jnp.dtype(dtype).itemsize
+    pat = sp.csr_matrix(
+        (np.ones(coo.row.size, dtype=np.int8),
+         (coo.row // 8, coo.col // 128)), shape=(n_br, n_bc))
+    W = max(1, int(np.diff(pat.indptr).max()))
     return n_br * W * 8 * 128 * jnp.dtype(dtype).itemsize
 
 
@@ -362,8 +367,15 @@ def rcm_permutation(A: sp.spmatrix) -> np.ndarray:
 
 
 def dia_offsets_of(A: sp.spmatrix) -> np.ndarray:
+    """Distinct diagonals, O(nnz + n) via bincount (offsets span
+    [-(m-1), n-1] — small) instead of an O(nnz log nnz) unique sort."""
     coo = A.tocoo()
-    return np.unique(coo.col.astype(np.int64) - coo.row.astype(np.int64))
+    if coo.row.size == 0:
+        return np.zeros(0, dtype=np.int64)
+    n, m = A.shape
+    offs = coo.col.astype(np.int64) - coo.row + (n - 1)
+    present = np.bincount(offs, minlength=n + m - 1) > 0
+    return np.flatnonzero(present) - (n - 1)
 
 
 def dia_from_csr(A: sp.spmatrix, dtype=jnp.float32) -> DiaMatrix:

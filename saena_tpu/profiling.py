@@ -92,30 +92,55 @@ def profile_matvecs(hierarchy, n_iter: int | None = None) -> list[dict]:
     return rows
 
 
-def vcycle_breakdown(hierarchy, params, rhs, n_iter: int | None = None) -> dict:
+def vcycle_breakdown(hierarchy, params, rhs, n_iter: int | None = None,
+                     per_level: bool = False) -> dict:
     """Component times of one V-cycle, same names as print_vcycle_time.
-    n_iter fixes the long-chain length (smoke tests); None adapts it."""
-    lv0 = hierarchy.levels[0]
-    r = jnp.asarray(rhs, dtype=lv0.dtype)
+    n_iter fixes the long-chain length (smoke tests); None adapts it.
 
+    Components are measured on EVERY level (pre+post smooth, residual,
+    R+P transfer pairs), so a mid-level regression localizes the way the
+    reference's print_vcycle_time accumulators do (saena_object.cpp:
+    593-615). per_level=True additionally returns the per-level rows under
+    "levels"."""
     out = {}
+    lv_rows = []
+    smooth_t = resid_t = rp_t = 0.0
+    for lv in hierarchy.levels[:-1]:
+        r = jnp.ones(lv.n_pad, dtype=lv.dtype)
 
-    def sm_step(v, lv, b):
-        return smooth(lv, params, v, b, params.preSmooth)
+        def sm_step(v, lv, b):
+            return smooth(lv, params, v, b, params.preSmooth)
 
-    out["smooth"] = _slope(sm_step, r, lv0, r, n_long=n_iter)
+        t_sm = _slope(sm_step, r, lv, r, n_long=n_iter)
 
-    def resid_step(v, lv, b):
-        return lv.A.matvec(v) - b
+        def resid_step(v, lv, b):
+            return lv.A.matvec(v).astype(v.dtype) - b
 
-    out["resid"] = _slope(resid_step, r, lv0, r, n_long=n_iter)
+        t_re = _slope(resid_step, r, lv, r, n_long=n_iter)
 
-    if lv0.R is not None:
-        def rp_step(v, lv):
-            rc = lv.R.matvec(v)
-            return lv.P.matvec(rc).astype(v.dtype)
+        t_rp = 0.0
+        if lv.R is not None:
+            def rp_step(v, lv):
+                rc = lv.R.matvec(v)
+                return lv.P.matvec(rc).astype(v.dtype)
 
-        out["Rtransfer+Ptransfer"] = _slope(rp_step, r, lv0, n_long=n_iter)
+            t_rp = _slope(rp_step, r, lv, n_long=n_iter)
+        # pre+post smoothing both run per cycle
+        w = (params.preSmooth + params.postSmooth) / max(1, params.preSmooth)
+        smooth_t += t_sm * w
+        resid_t += t_re
+        rp_t += t_rp
+        lv_rows.append({"level": lv.lvl, "n": lv.n,
+                        "smooth_us": t_sm * w * 1e6,
+                        "resid_us": t_re * 1e6,
+                        "transfer_us": t_rp * 1e6})
+
+    out["smooth"] = smooth_t
+    out["resid"] = resid_t
+    if rp_t:
+        out["Rtransfer+Ptransfer"] = rp_t
+    if per_level:
+        out["levels"] = lv_rows
 
     lvc = hierarchy.levels[-1]
     rc2 = jnp.ones(lvc.n_pad, dtype=lvc.dtype)
@@ -128,11 +153,132 @@ def vcycle_breakdown(hierarchy, params, rhs, n_iter: int | None = None) -> dict:
     def vc_step(v, h):
         return vcycle(h, params, jnp.zeros_like(v), v)
 
-    out["total"] = _slope(vc_step, r, hierarchy, n_long=n_iter)
+    lv0 = hierarchy.levels[0]
+    r0 = jnp.asarray(rhs, dtype=lv0.dtype)
+    out["total"] = _slope(vc_step, r0, hierarchy, n_long=n_iter)
     known = out["smooth"] + out["resid"] + \
         out.get("Rtransfer+Ptransfer", 0) + out["coarsest"]
     out["other"] = max(0.0, out["total"] - known)
     return out
+
+
+def profile_sharded_matvecs(sh, mesh, n_iter: int | None = None) -> list[dict]:
+    """Per-level, per-PHASE matvec breakdown on the sharded hierarchy
+    (VERDICT r1 #9) — the analog of the reference's part1..part6 matvec
+    instrumentation (saena_matrix_matvec.cpp:553-634):
+
+      pack   = gather of the send slots (vSend[i] = v[vIndex[i]], part1)
+      comm   = pack + collective + concat (the halo exchange, part2/3/6)
+      local  = total - comm (local SpMV work, part4/5)
+      total  = the full sharded matvec
+
+    Each phase is a chained jitted stage run INSIDE shard_map over the
+    mesh, timed with the two-length value-fetch slope like everything else
+    (block_until_ready does not synchronize through the axon tunnel)."""
+    from jax.sharding import PartitionSpec as P
+
+    axis = sh.axis
+
+    def _fold(v, w):
+        # keep the stage live in the chain while preserving v's shape
+        return v.at[0].add(jnp.sum(w).astype(v.dtype))
+
+    def _phases(A):
+        ph = {}
+        plan = getattr(A, "plan", None)
+        if plan is not None and plan.mode == "exchange":
+            if hasattr(A, "cols"):          # ShardedEll: scalar-slot pack
+                ph["pack"] = lambda A, v: _fold(
+                    v, jnp.take(v, A.plan.send_idx[0], axis=0))
+            else:                           # ShardedBsr: chunk pack
+                ph["pack"] = lambda A, v: _fold(
+                    v, jnp.take(v.reshape(-1, 128), A.plan.send_idx[0],
+                                axis=0))
+            ph["comm"] = (lambda A, v: _fold(v, A.plan.extend(v))) \
+                if hasattr(A, "cols") else \
+                (lambda A, v: _fold(v, A.plan.extend_chunks(v)))
+        elif hasattr(A, "_extend"):         # ShardedDia: slab ppermutes
+            ph["comm"] = lambda A, v: _fold(v, A._extend(v, False))
+        ph["total"] = lambda A, v: A.matvec(v)
+        return ph
+
+    def _slope_sharded(step, A, n_iter, n_rows):
+        @partial(jax.jit, static_argnames=("n",))
+        def chain(A, x, n):
+            def body(A_loc, x_loc):
+                def it(i, v):
+                    w = step(A_loc, v)
+                    return w / (1.0 + jnp.max(jnp.abs(w)))
+                return jnp.sum(jax.lax.fori_loop(0, n, it, x_loc[0]))[None]
+
+            s = jax.shard_map(
+                body, mesh=mesh,
+                in_specs=(jax.tree.map(lambda _: P(axis), A), P(axis)),
+                out_specs=P(axis), check_vma=False)(A, x)
+            return jnp.sum(s)
+
+        D = mesh.devices.size
+        x = jnp.ones((D, n_rows), dtype=A.dtype)
+
+        n_short = 3
+        float(chain(A, x, n_short))        # compile + first-exec upload
+        if n_iter is None:
+            t0 = time.perf_counter()
+            float(chain(A, x, n_short))
+            est = max(1e-7, (time.perf_counter() - t0 - 0.020) / n_short)
+            n_long = n_short + int(np.clip(0.04 / est, 20, 50_000))
+        else:
+            n_long = max(n_iter, n_short + 1)
+        float(chain(A, x, n_long))
+        reps = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(chain(A, x, n_short))
+            ts = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            float(chain(A, x, n_long))
+            tl = time.perf_counter() - t0
+            reps.append((tl - ts) / (n_long - n_short))
+        return max(1e-9, float(np.median(reps)))
+
+    rows = []
+    for lv in sh.sharded:
+        A = lv.A
+        n_rows = lv.inv_diag.shape[-1]
+        phases = _phases(A)
+        times = {}
+        for name, step in phases.items():
+            times[name] = _slope_sharded(step, A, n_iter, n_rows)
+        comm = times.get("comm", 0.0)
+        row = {
+            "level": lv.lvl,
+            "n": lv.n,
+            "nnz": A.nnz,
+            "format": type(A).__name__,
+            "total_us": times["total"] * 1e6,
+            "nnz_per_s": A.nnz / times["total"],
+        }
+        if "pack" in times:
+            row["pack_us"] = times["pack"] * 1e6
+        if comm:
+            row["comm_us"] = comm * 1e6
+            row["local_us"] = max(0.0, times["total"] - comm) * 1e6
+        rows.append(row)
+    return rows
+
+
+def format_sharded_profile(rows: list[dict]) -> str:
+    lines = ["lvl        n         nnz  format        pack_us  comm_us "
+             "local_us  total_us"]
+    for r in rows:
+        lines.append(
+            f"{r['level']:<3} {r['n']:>8} {r['nnz']:>11}  "
+            f"{r['format']:<12} "
+            f"{r.get('pack_us', float('nan')):>8.2f} "
+            f"{r.get('comm_us', float('nan')):>8.2f} "
+            f"{r.get('local_us', float('nan')):>8.2f} "
+            f"{r['total_us']:>9.2f}")
+    return "\n".join(lines)
 
 
 def format_breakdown(bd: dict) -> str:

@@ -191,3 +191,49 @@ def test_update3_local_diff_path():
     u3, res3 = solver.solve_pCG()
     r = rhs - A2csr @ u3
     assert np.linalg.norm(r) / np.linalg.norm(rhs) < 1e-6
+
+
+def test_update3_propagates_local_diff_exactly():
+    """A LOCAL value change must ride the diff path (Ac += R D P, no full
+    Galerkin recompute) and, with filtering off, match update2 exactly."""
+    m = 10
+    base = laplacian3D(m, m, m)
+    opts = Options(filter_thre=0.0)
+
+    def build(mat):
+        M = Matrix(); M.set_csr(mat); M.assemble()
+        s = AMG(); s.set_matrix(M, opts)
+        return s
+
+    solver = build(base)
+
+    # local change: strengthen one interior connection (symmetric)
+    A2csr = base.tolil()
+    A2csr[555, 556] = A2csr[555, 556] * 2.0
+    A2csr[556, 555] = A2csr[556, 555] * 2.0
+    A2csr[555, 555] = A2csr[555, 555] + 1.0
+    A2csr = A2csr.tocsr()
+    A2 = Matrix(); A2.set_csr(A2csr); A2.assemble()
+
+    # diff path must not fall back to update2
+    import saena_tpu.api as api_mod
+    called = {"update2": False}
+    orig = api_mod.AMG.update2
+    api_mod.AMG.update2 = lambda self, a: called.__setitem__("update2", True) or orig(self, a)
+    try:
+        solver.update3(A2)
+    finally:
+        api_mod.AMG.update2 = orig
+    assert not called["update2"], "local diff fell back to full recompute"
+
+    # coarse operators match a full update2 recompute exactly (no filter)
+    ref = build(base)
+    ref.update2(A2)
+    for got, want in zip(solver.info.csr_levels, ref.info.csr_levels):
+        assert abs(got - want).max() < 1e-12
+
+    rhs = laplacian3D_set_rhs(m, m, m)
+    solver.set_rhs(rhs)
+    u3, res3 = solver.solve_pCG()
+    r = rhs - A2csr @ u3
+    assert np.linalg.norm(r) / np.linalg.norm(rhs) < 1e-6

@@ -49,3 +49,27 @@ def test_scaling_efficiency_helper():
 
     assert scaling_efficiency(8e9, 1e9, 8) == 1.0
     assert scaling_efficiency(4e9, 1e9, 8) == 0.5
+
+
+def test_profile_sharded_matvecs():
+    """Per-phase (pack/comm/local/total) sharded matvec profile on the
+    8-device mesh (ref part1..part6, saena_matrix_matvec.cpp:553-634)."""
+    import jax
+    from saena_tpu.core.coo import remove_boundary_nodes
+    from saena_tpu.parallel.sharded import make_mesh, shard_hierarchy
+    from saena_tpu.profiling import format_sharded_profile, profile_sharded_matvecs
+
+    A0 = laplacian3D(16, 16, 16)
+    A, *_ = remove_boundary_nodes(A0, np.zeros(16 ** 3))
+    opts = Options(replicate_threshold=500)
+    hier, info = H.setup(A, opts)
+    mesh = make_mesh(8)
+    sh, splits = shard_hierarchy(info, opts, mesh)
+    rows = profile_sharded_matvecs(sh, mesh, n_iter=4)
+    assert len(rows) == len(sh.sharded)
+    for r in rows:
+        assert r["total_us"] > 0 and r["nnz_per_s"] > 0
+        if "comm_us" in r:
+            assert r["local_us"] >= 0
+    out = format_sharded_profile(rows)
+    assert "total_us" in out and str(rows[0]["n"]) in out
