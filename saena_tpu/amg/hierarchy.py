@@ -27,6 +27,7 @@ from saena_tpu.ops.formats import (
     device_matrix_from_csr,
     ell_from_csr,
     pad_to,
+    to_device,
 )
 from saena_tpu.amg.strength import find_aggregation
 from saena_tpu.amg.prolongation import smoothed_prolongator, restriction
@@ -243,7 +244,14 @@ def coarsen_csr(A: sp.csr_matrix, lvl: int, opts: Options):
             last = True
     P = smoothed_prolongator(A, agg, n_c, omega=opts.Pomega, psmoother=opts.PSmoother)
     R = restriction(P)
-    Ac = galerkin_product(R, A, P)
+    if opts.rap == "device":
+        # block-sparse MXU engine: host symbolic, device numeric
+        # (ops/bspgemm.py); f64 on CPU, f32+HIGHEST on TPU
+        from saena_tpu.ops.bspgemm import spgemm_blocks
+        dt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        Ac = spgemm_blocks(spgemm_blocks(R, A, dtype=dt), P, dtype=dt)
+    else:
+        Ac = galerkin_product(R, A, P)
     thre = filter_threshold(lvl + 1, opts.filter_thre, opts.filter_max,
                             opts.filter_start, opts.filter_rate)
     Ac = filter_lump(Ac, thre)
@@ -441,7 +449,7 @@ def devicify(
             # inv_diag carries the VECTOR dtype: smoother/residual arithmetic
             # stays full-precision while A/P/R matvecs run reduced (ref
             # float_level semantics — only vSend_f/matvec buffers are float)
-            Level(A=Adev, inv_diag=jnp.asarray(inv_diag, dtype=dtype),
+            Level(A=Adev, inv_diag=to_device(inv_diag, dtype),
                   P=P_dev, R=R_dev, n=n, lvl=l, eig_max=eig)
         )
         info.sizes.append(n)
@@ -478,8 +486,8 @@ def devicify(
             ad = np.zeros((n_pad, n_pad))
             ad[:n, :n] = coarse_dense
             coarse_lu = CoarseLU(
-                lu=None, piv=None, inv=jnp.asarray(inv, dtype=dt),
-                adense=jnp.asarray(ad, dtype=dt), n=n)
+                lu=None, piv=None, inv=to_device(inv, dt),
+                adense=to_device(ad, dt), n=n)
         else:
             dm = dense_from_csr(Acoarse, dtype=dt, unit_diag_pad=True)
             lu, piv = jax.scipy.linalg.lu_factor(dm.data)

@@ -77,6 +77,12 @@ class Options:
                                        # own A matvec (P=(I-wQA)P_t decomposed,
                                        # ops/transfers.py) when cheaper than
                                        # streaming P/R directly; needs symmetric A
+    rap: str = "host"                  # Galerkin engine: "host" (torch-MKL
+                                       # SpGEMM, the mkl_dcsrmultcsr analog) |
+                                       # "device" (block-sparse MXU engine,
+                                       # ops/bspgemm.py — FLOPs on the
+                                       # accelerator, memory ∝ nonzero blocks;
+                                       # the fast_mm re-design)
 
     # ---- parallel policy (TPU-native analogs of shrink/repart) ----
     replicate_threshold: int = 5000    # coarse levels below this global size are replicated

@@ -39,6 +39,14 @@ def pad_to(n: int, m: int = PAD) -> int:
     return max(((n + m - 1) // m) * m, m)
 
 
+
+def to_device(arr, dtype):
+    """Upload a host array at its FINAL dtype: casting on the host first
+    halves the tunnel bytes and avoids a device-side convert_element_type
+    (~12 s of a 48^3 TPU setup was f64 uploads cast on device)."""
+    import numpy as _np
+    return jnp.asarray(_np.asarray(arr, dtype=jnp.dtype(dtype)))
+
 def _register(cls):
     data = [f.name for f in dataclasses.fields(cls) if not f.metadata.get("static")]
     meta = [f.name for f in dataclasses.fields(cls) if f.metadata.get("static")]
@@ -284,10 +292,10 @@ def ell_from_csr(
 
     return EllMatrix(
         cols=jnp.asarray(cols),
-        vals=jnp.asarray(vals, dtype=dtype),
+        vals=to_device(vals, dtype),
         spill_rows=jnp.asarray(s_rows),
         spill_cols=jnp.asarray(s_cols),
-        spill_vals=jnp.asarray(s_vals, dtype=dtype),
+        spill_vals=to_device(s_vals, dtype),
         shape=(n, m),
         nnz=int(A.nnz),
     )
@@ -333,7 +341,7 @@ def bsr_from_csr(A: sp.spmatrix, dtype=jnp.float32) -> BsrMatrix:
     bcols[u_br, slot] = u_bc
     blocks[u_br[inv], slot[inv], coo.row % 8, coo.col % 128] = coo.data
     return BsrMatrix(
-        blocks=jnp.asarray(blocks, dtype=dtype),
+        blocks=to_device(blocks, dtype),
         bcols=jnp.asarray(bcols),
         shape=(n, m), nnz=int(A.nnz),
     )
@@ -390,7 +398,7 @@ def dia_from_csr(A: sp.spmatrix, dtype=jnp.float32) -> DiaMatrix:
     k = np.searchsorted(uniq, offs)
     data[k, coo.row] = coo.data  # canonical CSR → no duplicate (k, row) pairs
     return DiaMatrix(
-        data=jnp.asarray(data, dtype=dtype),
+        data=to_device(data, dtype),
         shape=(n, m),
         offsets=tuple(int(o) for o in uniq),
         nnz=int(A.nnz),
@@ -405,7 +413,7 @@ def dense_from_csr(A: sp.spmatrix, dtype=jnp.float32, unit_diag_pad: bool = Fals
     if unit_diag_pad and n_pad == m_pad:
         idx = np.arange(n, n_pad)
         d[idx, idx] = 1.0  # keep padded system nonsingular for LU
-    return DenseMatrix(data=jnp.asarray(d, dtype=dtype), shape=(n, m), nnz=int(A.nnz))
+    return DenseMatrix(data=to_device(d, dtype), shape=(n, m), nnz=int(A.nnz))
 
 
 def device_matrix_from_csr(

@@ -266,3 +266,29 @@ def test_double_aggregation_lean_hierarchy():
     assert sizes2[1] * 3.5 <= sizes2[0]          # real coarsening ratio
     assert cn2 * 4 < cn1                          # much leaner coarse grids
     assert it2 <= it1 + 6                         # convergence preserved
+
+
+def test_device_rap_matches_host():
+    """Options(rap="device") routes the Galerkin product through the
+    block-sparse MXU engine; at f64 (CPU tests) the hierarchy and
+    iteration counts match the host torch-MKL product exactly."""
+    from saena_tpu.generators import laplacian3D, laplacian3D_set_rhs
+    from saena_tpu.core.coo import remove_boundary_nodes
+    from saena_tpu.amg import solvers as S
+
+    A0 = laplacian3D(14, 14, 14)
+    A, *_ = remove_boundary_nodes(A0, np.zeros(14 ** 3))
+    rhs0 = laplacian3D_set_rhs(14, 14, 14)
+    _, _, _, _, rhs = remove_boundary_nodes(A0, rhs0)
+
+    hier_h, info_h = H.setup(A, Options())
+    hier_d, info_d = H.setup(A, Options(rap="device"))
+    assert info_h.sizes == info_d.sizes
+    for Ah, Ad in zip(info_h.csr_levels, info_d.csr_levels):
+        assert abs(Ah - Ad).max() < 1e-11
+
+    params = H.SolveParams.from_options(Options())
+    rp = np.pad(rhs, (0, hier_h.n_pad - A.shape[0]))
+    r1 = S.solve_pCG(hier_h, rp, params=params, tol=1e-8, max_iter=100)
+    r2 = S.solve_pCG(hier_d, rp, params=params, tol=1e-8, max_iter=100)
+    assert int(r1.iters) == int(r2.iters)
