@@ -242,27 +242,39 @@ def _plan(row, col, n, m, perrow):
                 perrow=perrow, rpt=rpt)
 
 
-_SAMPLE_NNZ = 300_000     # planner decisions come from a row-block sample
-                          # above this size: the full 5-candidate sweep was
-                          # 67 s of a 105 s TPU 48^3 setup (VERDICT r1 #3)
+_SAMPLE_NNZ = 400_000     # planner decisions come from a STRATIFIED row
+                          # sample above this size: the full 5-candidate
+                          # sweep was 67 s of a 105 s TPU 48^3 setup
+                          # (VERDICT r1 #3)
+_SEG = 1024               # sampling segment: whole tiles for every rpt
+                          # candidate (rpt <= 1024), so the sampled layout
+                          # is structurally faithful
 
 
 def _pick_candidate(row, col, n, m, perrow=None):
-    """Choose the perrow candidate — on a contiguous row-block sample when
-    the operator is large; only the WINNER then gets a full _plan. Returns
-    (perrow, padded_pairs) with padded_pairs scaled to full size when
-    sampled."""
+    """Choose the perrow candidate — on a stratified row-segment sample
+    when the operator is large; only the WINNER then gets a full _plan.
+    Returns (perrow, padded_pairs) with padded_pairs scaled to full size
+    when sampled. Sampling keeps every stride-th 1024-row segment across
+    the WHOLE matrix (a leading contiguous window is unrepresentative for
+    SA-coarsened operators — it cost 0.53 -> 0.87 ms on the lean V-cycle)
+    and rebases rows so tile alignment is preserved."""
     cands = (perrow,) if perrow else _PERROW_CANDIDATES
     nnz = row.size
     if nnz > _SAMPLE_NNZ and perrow is None:
-        # contiguous row window with ~_SAMPLE_NNZ entries (rows are sorted
-        # in CSR-derived COO); pair counts scale ~linearly in nnz
-        hi = np.searchsorted(row, row[_SAMPLE_NNZ])
-        rs, cs = row[:hi], col[:hi]
-        ns = int(rs[-1]) + 1 if hi else 1
-        plans = [_plan(rs, cs, ns, m, pr) for pr in cands]
-        best = min(plans, key=lambda p: p["score"])
-        return best["perrow"], int(best["padded_pairs"] * nnz / max(1, hi))
+        stride = max(2, int(np.ceil(nnz / _SAMPLE_NNZ)))
+        seg = row // _SEG
+        keep = (seg % stride) == 0
+        # rebase: kept segment k maps to slot k // stride
+        rs = (seg[keep] // stride) * _SEG + (row[keep] % _SEG)
+        cs = col[keep]
+        kept = int(keep.sum())
+        if kept:
+            ns = int(rs.max()) + 1
+            plans = [_plan(rs, cs, ns, m, pr) for pr in cands]
+            best = min(plans, key=lambda p: p["score"])
+            return best["perrow"], int(
+                best["padded_pairs"] * nnz / max(1, kept))
     plans = [_plan(row, col, n, m, pr) for pr in cands]
     best = min(plans, key=lambda p: p["score"])
     return best["perrow"], int(best["padded_pairs"])

@@ -51,8 +51,12 @@ def _slope(step, x, *args, n_short=3, n_long=None, est_iter_s=None):
             float(_chain(step, x, n_short, *args))
             est_iter_s = max(
                 1e-7, (time.perf_counter() - t0 - 0.020) / n_short)
+        # floor of 300 extra iterations: a 20-iteration delta of a us-scale
+        # kernel is far below the tunnel's ms-scale RPC jitter and reports
+        # noise (the calibration overestimates est_iter_s when the fetch
+        # itself costs ~26 ms)
         n_long = n_short + int(np.clip(0.04 / max(est_iter_s, 1e-9),
-                                       20, 50_000))
+                                       300, 50_000))
     float(_chain(step, x, n_long, *args))
     reps = []
     for _ in range(3):
@@ -226,7 +230,7 @@ def profile_sharded_matvecs(sh, mesh, n_iter: int | None = None) -> list[dict]:
             t0 = time.perf_counter()
             float(chain(A, x, n_short))
             est = max(1e-7, (time.perf_counter() - t0 - 0.020) / n_short)
-            n_long = n_short + int(np.clip(0.04 / est, 20, 50_000))
+            n_long = n_short + int(np.clip(0.04 / est, 300, 50_000))
         else:
             n_long = max(n_iter, n_short + 1)
         float(chain(A, x, n_long))
