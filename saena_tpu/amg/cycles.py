@@ -73,12 +73,15 @@ def vcycle(hierarchy: Hierarchy, params: SolveParams, u, rhs, lvl: int = 0,
     # 2. residual (reference sign: res = A u - rhs); fused single-pass
     # kernel where the format has one (DiaMatrix on TPU). Vectors stay in
     # u's dtype — reduced-precision levels only reduce the MATVEC (ref
-    # float_level semantics, saena_object.cpp:241-285)
-    fu = getattr(level.A, "fused_update", None)
-    if fu is not None and level.A.dtype == u.dtype:
+    # float_level semantics, saena_object.cpp:241-285). The V-cycle's own
+    # residual may ride the reduced smoother operator (preconditioner-
+    # internal, like the lossy halos)
+    A_res = getattr(level, "A_smooth", None) or level.A
+    fu = getattr(A_res, "fused_update", None)
+    if fu is not None and A_res.dtype == u.dtype:
         res = fu(u, rhs, c=-1.0, add_x=False)
     else:
-        res = level.A.matvec(u).astype(u.dtype) - rhs
+        res = A_res.matvec(u).astype(u.dtype) - rhs
     # 3. restrict
     res_c = level.R.matvec(res).astype(u.dtype)
     # 4. recurse from a zero coarse iterate

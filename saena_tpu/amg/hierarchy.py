@@ -61,8 +61,12 @@ class Level:
     inv_diag: jax.Array                      # (n_pad,)
     P: Optional[DeviceMatrix]                # (n, n_coarse) — ELL or BSR
     R: Optional[DeviceMatrix]                # (n_coarse, n)
-    n: int = _static()                       # logical size
-    lvl: int = _static()
+    # optional reduced-precision operator copy for V-cycle-internal
+    # smoother/residual matvecs (Options.smooth_dtype); the outer Krylov
+    # always uses A
+    A_smooth: Optional[DeviceMatrix] = None
+    n: int = _static(default=0)              # logical size
+    lvl: int = _static(default=0)
     eig_max: Optional[float] = _static(default=None)  # lambda_max(D^{-1}A)*1.0001
 
     @property
@@ -445,12 +449,21 @@ def devicify(
                 P_dev = _transfer_from_csr(Ps[l], dt_next)
                 R_dev = _transfer_from_csr(Rs[l], dt_next)
 
+        A_smooth = None
+        if opts.smooth_dtype and not is_coarsest:
+            sm_dt = jnp.dtype(opts.smooth_dtype)
+            # DIA keeps f32: its Pallas kernel is f32-tiled and the fine
+            # stencil smoother is already far below the mid-level cost
+            if sm_dt != jnp.dtype(dt) and type(Adev).__name__ != "DiaMatrix":
+                A_smooth = Adev.astype(sm_dt)
+
         levels.append(
             # inv_diag carries the VECTOR dtype: smoother/residual arithmetic
             # stays full-precision while A/P/R matvecs run reduced (ref
             # float_level semantics — only vSend_f/matvec buffers are float)
             Level(A=Adev, inv_diag=to_device(inv_diag, dtype),
-                  P=P_dev, R=R_dev, n=n, lvl=l, eig_max=eig)
+                  P=P_dev, R=R_dev, A_smooth=A_smooth, n=n, lvl=l,
+                  eig_max=eig)
         )
         info.sizes.append(n)
         info.nnzs.append(int(Acsr.nnz))

@@ -72,13 +72,17 @@ def chebyshev(A, inv_diag, eig_max: float, u, rhs, iters: int,
 
 
 def smooth(level, params, u, rhs, iters: int, u_is_zero: bool = False):
-    """Dispatch like saena_object::smooth (saena_object.tpp:5-16)."""
+    """Dispatch like saena_object::smooth (saena_object.tpp:5-16). Uses the
+    level's reduced-precision operator copy when one was built
+    (Options.smooth_dtype) — smoother matvecs are preconditioner-internal,
+    the outer Krylov always sees the exact operator."""
     if iters <= 0:
         return u
+    A = getattr(level, "A_smooth", None) or level.A
     if params.smoother == "jacobi":
-        return jacobi(level.A, level.inv_diag, u, rhs, iters,
+        return jacobi(A, level.inv_diag, u, rhs, iters,
                       params.jacobi_omega, u_is_zero=u_is_zero)
     elif params.smoother == "chebyshev":
-        return chebyshev(level.A, level.inv_diag, level.eig_max, u, rhs,
+        return chebyshev(A, level.inv_diag, level.eig_max, u, rhs,
                          iters, u_is_zero=u_is_zero)
     raise ValueError(f"unknown smoother {params.smoother!r}")

@@ -77,6 +77,15 @@ class Options:
                                        # own A matvec (P=(I-wQA)P_t decomposed,
                                        # ops/transfers.py) when cheaper than
                                        # streaming P/R directly; needs symmetric A
+    smooth_dtype: str = ""             # when set (e.g. "bfloat16"), smoother/
+                                       # residual matvecs INSIDE the V-cycle
+                                       # use a reduced-precision copy of each
+                                       # level's operator (halved smoother
+                                       # bandwidth); the outer Krylov always
+                                       # sees the exact operator. DIA levels
+                                       # keep f32 (their Pallas kernel is
+                                       # f32-tiled and already ~6x cheaper
+                                       # than the mid-level smoothers)
     rap: str = "host"                  # Galerkin engine: "host" (torch-MKL
                                        # SpGEMM, the mkl_dcsrmultcsr analog) |
                                        # "device" (block-sparse MXU engine,

@@ -161,7 +161,11 @@ def strip_spmv(A: StripMatrix, x: jax.Array, interpret: bool = False):
     Q = 128 // A.perrow
     n_strips = A.n_cols_pad // 128
     n_rb = A.n_rows_pad // _rpt(A.perrow)
-    xs = x.astype(A.dtype).reshape(n_strips, 128)
+    # x and the accumulator stay >= f32: Mosaic cannot load a dynamic
+    # single strip row from a bf16 memref (sublane packing), and f32
+    # accumulation is better anyway — bf16 reduces only the streamed VALUES
+    cdt = jnp.promote_types(A.dtype, jnp.float32)
+    xs = x.astype(cdt).reshape(n_strips, 128)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_groups,),
@@ -180,7 +184,7 @@ def strip_spmv(A: StripMatrix, x: jax.Array, interpret: bool = False):
     )
     out = pl.pallas_call(
         functools.partial(_kernel, perrow=A.perrow, krb=A.krb),
-        out_shape=jax.ShapeDtypeStruct((n_rb, 8, Q), A.dtype),
+        out_shape=jax.ShapeDtypeStruct((n_rb, 8, Q), cdt),
         grid_spec=grid_spec,
         interpret=interpret,
     )(A.sb_of, A.strip_of, A.rb_local, xs, A.idx, A.vals)

@@ -292,3 +292,30 @@ def test_device_rap_matches_host():
     r1 = S.solve_pCG(hier_h, rp, params=params, tol=1e-8, max_iter=100)
     r2 = S.solve_pCG(hier_d, rp, params=params, tol=1e-8, max_iter=100)
     assert int(r1.iters) == int(r2.iters)
+
+
+def test_smooth_dtype_reduced_operators():
+    """Options(smooth_dtype=...) builds reduced smoother-operator copies;
+    the outer Krylov still sees the exact operator and convergence holds
+    within an iteration of the full-precision run."""
+    from saena_tpu.generators import laplacian3D
+    from saena_tpu.core.coo import remove_boundary_nodes
+    from saena_tpu.amg import solvers as S
+
+    A, *_ = remove_boundary_nodes(laplacian3D(16, 16, 16), np.zeros(16 ** 3))
+    rhs = A @ np.ones(A.shape[0])
+    base = H.setup(A, Options(aggregation="double"))[0]
+    red, info = H.setup(A, Options(aggregation="double",
+                                   smooth_dtype="float32"))
+    # non-DIA, non-coarsest levels carry the reduced copy
+    kinds = [(type(l.A).__name__, l.A_smooth is not None)
+             for l in red.levels[:-1]]
+    assert any(has for k, has in kinds if k != "DiaMatrix"), kinds
+    assert all(l.A_smooth is None or l.A_smooth.dtype == np.float32
+               for l in red.levels)
+    params = H.SolveParams.from_options(Options())
+    rp = np.pad(rhs, (0, base.n_pad - A.shape[0]))
+    r0 = S.solve_pCG(base, rp, params=params, tol=1e-8, max_iter=100)
+    r1 = S.solve_pCG(red, rp, params=params, tol=1e-8, max_iter=100)
+    assert float(r1.rel_res) < 1e-8
+    assert abs(int(r1.iters) - int(r0.iters)) <= 1
