@@ -116,23 +116,45 @@ def main():
         rpc.append(time.perf_counter() - t0)
     rpc_s = float(np.median(rpc))
 
-    # ---- pCG to 1e-8: iterations + solve wall time (value-fetch synced) ----
+    # ---- pCG to 1e-8: iterations + DEVICE solve time via a chained-solve
+    # slope (a single wall measurement carries the tunnel's +-3 ms RPC
+    # jitter — larger than the solve itself on the lean hierarchy)
+    from saena_tpu.amg.solvers import _pcg
+
+    @partial(jax.jit, static_argnames=("params", "max_iter", "n"))
+    def solve_chain(hier_, rhs_, tol_, params, max_iter, n):
+        def body(i, s):
+            r_ = _pcg(hier_, params, rhs_ * (1.0 + 1e-30 * s), tol_,
+                      max_iter)
+            return s + r_.final_res * 1e-30
+        return jax.lax.fori_loop(0, n, body, jnp.zeros((), rhs_.dtype))
+
+    def solve_slope(hier_, rhs_, params):
+        tol_ = jnp.asarray(1e-8, rhs_.dtype)
+        float(solve_chain(hier_, rhs_, tol_, params, 100, 2))
+        float(solve_chain(hier_, rhs_, tol_, params, 100, 12))
+        reps = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(solve_chain(hier_, rhs_, tol_, params, 100, 2))
+            ts = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            float(solve_chain(hier_, rhs_, tol_, params, 100, 12))
+            tl = time.perf_counter() - t0
+            reps.append((tl - ts) / 10)
+        return max(1e-9, float(np.median(reps)))
+
     rhs_pad = jnp.asarray(np.pad(rhs, (0, hier.n_pad - n)), dtype=dtype)
     res = S.solve_pCG(hier, rhs_pad, params=params, tol=1e-8, max_iter=100)
     iters = int(res.iters)
     rel = float(res.rel_res)
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        out = S.solve_pCG(hier, rhs_pad, params=params, tol=1e-8, max_iter=100)
-        float(out.final_res)
-        times.append(time.perf_counter() - t0)
-    solve_s = float(np.median(times))
-    # derived V-cycle estimate: the solve is iters x (vcycle + outer matvec +
-    # dots) behind one RPC fetch; avoids two extra multi-minute remote
-    # compiles of a dedicated vcycle chain
+    solve_dev_s = solve_slope(hier, rhs_pad, params)
+    t0 = time.perf_counter()
+    out = S.solve_pCG(hier, rhs_pad, params=params, tol=1e-8, max_iter=100)
+    float(out.final_res)
+    solve_s = time.perf_counter() - t0          # wall incl. one RPC fetch
     RPC_S = rpc_s
-    vcycle_s = max(0.0, (solve_s - RPC_S)) / max(1, iters)
+    vcycle_s = solve_dev_s / max(1, iters)
 
     # ---- lean config: double aggregation (opt-in, Options docstring) ----
     # same problem/tolerance through the performance-oriented hierarchy
@@ -150,21 +172,18 @@ def main():
         res_l = S.solve_pCG(hier_l, rhs_l, params=params_l, tol=1e-8,
                             max_iter=100)
         it_l = int(res_l.iters)
-        times_l = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            out = S.solve_pCG(hier_l, rhs_l, params=params_l, tol=1e-8,
-                              max_iter=100)
-            float(out.final_res)
-            times_l.append(time.perf_counter() - t0)
-        solve_l = float(np.median(times_l))
+        solve_l_dev = solve_slope(hier_l, rhs_l, params_l)
+        t0 = time.perf_counter()
+        out = S.solve_pCG(hier_l, rhs_l, params=params_l, tol=1e-8,
+                          max_iter=100)
+        float(out.final_res)
+        solve_l = time.perf_counter() - t0
         lean = {
             "pcg_iters_to_1e8": it_l,
             "pcg_rel_res": float(res_l.rel_res),
             "pcg_solve_ms": round(solve_l * 1e3, 2),
-            "pcg_solve_ms_device": round(max(0.0, solve_l - RPC_S) * 1e3, 2),
-            "vcycle_ms_est": round(max(0.0, solve_l - RPC_S) / max(1, it_l)
-                                   * 1e3, 3),
+            "pcg_solve_ms_device": round(solve_l_dev * 1e3, 2),
+            "vcycle_ms_est": round(solve_l_dev / max(1, it_l) * 1e3, 3),
             "setup_s": round(lean_setup_s, 2),
             "levels": info_l.sizes,
         }
@@ -191,7 +210,7 @@ def main():
             "pcg_iters_to_1e8": iters,
             "pcg_rel_res": rel,
             "pcg_solve_ms": round(solve_s * 1e3, 2),
-            "pcg_solve_ms_device": round(max(0.0, solve_s - RPC_S) * 1e3, 2),
+            "pcg_solve_ms_device": round(solve_dev_s * 1e3, 2),
             "rpc_floor_ms": round(rpc_s * 1e3, 2),
             "setup_s": round(setup_s, 2),
             "levels": info.sizes,
