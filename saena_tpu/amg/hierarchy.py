@@ -476,7 +476,12 @@ def devicify(
     if opts.direct_solver == "LU":
         Acoarse = csr_levels[-1]
         n = Acoarse.shape[0]
-        dt = low_dtype if (n_lv - 1) >= opts.float_level else dtype
+        # the coarse DIRECT solve runs at the VECTOR dtype regardless of
+        # float_level: the reference's SuperLU always factors in f64, and
+        # an f32 inverse apply on an ill-conditioned coarsest operator
+        # wrecks the preconditioner (SiH4: 149 vs 65 iterations from a
+        # single f32 4x4 coarse solve). No TPU cost — vectors are f32 there.
+        dt = dtype
         # LU needs at least f32 (no bf16/f16 factorization kernels)
         if jnp.dtype(dt).itemsize < 4:
             dt = jnp.float32
