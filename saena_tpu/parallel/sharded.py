@@ -92,6 +92,12 @@ class ShardedEll:
     def dtype(self):
         return self.vals.dtype
 
+    def astype(self, dtype) -> "ShardedEll":
+        return dataclasses.replace(
+            self, vals=self.vals.astype(dtype),
+            spill_vals=None if self.spill_vals is None
+            else self.spill_vals.astype(dtype))
+
     def matvec(self, x_loc: jax.Array, exact: bool = False) -> jax.Array:
         """x_loc: local block of the column space (or the full replicated /
         extended vector, per plan.mode). Returns the local row block — or the
@@ -125,6 +131,9 @@ class ShardedBsr:
     @property
     def dtype(self):
         return self.blocks.dtype
+
+    def astype(self, dtype) -> "ShardedBsr":
+        return dataclasses.replace(self, blocks=self.blocks.astype(dtype))
 
     def matvec(self, x_loc: jax.Array, exact: bool = False) -> jax.Array:
         ext = self.plan.extend_chunks(x_loc.astype(self.dtype), exact=exact)
@@ -287,6 +296,9 @@ class ShardedDense:
     def dtype(self):
         return self.data.dtype
 
+    def astype(self, dtype) -> "ShardedDense":
+        return dataclasses.replace(self, data=self.data.astype(dtype))
+
     def matvec(self, x_loc: jax.Array, exact: bool = False) -> jax.Array:
         A_loc = self.data[0]                     # (n_loc_pad, D*n_loc_pad)
         D = self.n_devices
@@ -319,8 +331,11 @@ class ShardedLevel:
     inv_diag: jax.Array           # (D, n_rows_pad)
     R_next: Optional[ShardedEll]  # to level lvl+1 (None on the last sharded level)
     P_next: Optional[ShardedEll]
-    n: int = _static()
-    lvl: int = _static()
+    # reduced-precision smoother-operator copy (Options.smooth_dtype);
+    # pCG's outer matvec always uses A with exact=True
+    A_smooth: Optional[ShardedEll] = None
+    n: int = _static(default=0)
+    lvl: int = _static(default=0)
     eig_max: Optional[float] = _static(default=None)
 
     @property
@@ -374,11 +389,12 @@ def _psmooth(level, params: SolveParams, u, rhs, iters: int,
              u_is_zero: bool = False):
     if iters <= 0:
         return u
+    A = getattr(level, "A_smooth", None) or level.A
     inv_d = level.inv_diag[0]
     if params.smoother == "jacobi":
-        return jacobi(level.A, inv_d, u, rhs, iters, params.jacobi_omega,
+        return jacobi(A, inv_d, u, rhs, iters, params.jacobi_omega,
                       u_is_zero=u_is_zero)
-    return chebyshev(level.A, inv_d, level.eig_max, u, rhs, iters,
+    return chebyshev(A, inv_d, level.eig_max, u, rhs, iters,
                      u_is_zero=u_is_zero)
 
 
@@ -391,7 +407,8 @@ def sharded_vcycle(sh: ShardedHierarchy, params: SolveParams, u, rhs,
     u = _psmooth(level, params, u, rhs, params.preSmooth, u_is_zero=u_is_zero)
     # vectors stay in u's dtype; reduced-precision levels only reduce the
     # MATVEC (ref float_level semantics, saena_object.cpp:241-285)
-    res = level.A.matvec(u).astype(u.dtype) - rhs
+    A_res = getattr(level, "A_smooth", None) or level.A
+    res = A_res.matvec(u).astype(u.dtype) - rhs
 
     if not last_sharded:
         res_c = level.R_next.matvec(res).astype(u.dtype)
@@ -972,10 +989,18 @@ def shard_hierarchy(
                                        dt_next, mode, axis, compress=compress,
                                        fmt=sharded_format)
 
+        A_smooth = None
+        if opts.smooth_dtype:
+            sm_dt = jnp.dtype(opts.smooth_dtype)
+            # DIA keeps its f32 Pallas path (bf16 falls to the XLA lowering)
+            if sm_dt != jnp.dtype(dt) and hasattr(Ash, "astype") and \
+                    type(Ash).__name__ != "ShardedDia":
+                A_smooth = Ash.astype(sm_dt)
+
         sharded_levels.append(
             # inv_diag carries the VECTOR dtype (matvec-only mixed precision)
             ShardedLevel(A=Ash, inv_diag=jnp.asarray(inv_d, dtype=dtype),
-                         R_next=R_next, P_next=P_next,
+                         R_next=R_next, P_next=P_next, A_smooth=A_smooth,
                          n=A.shape[0], lvl=l, eig_max=eig)
         )
 

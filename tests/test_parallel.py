@@ -476,3 +476,24 @@ def test_sharded_pcg_int8_block_halo(mesh):
         sh0, splits0, rhs, mesh, params=H.SolveParams.from_options(opts0),
         tol=1e-8, max_iter=100)
     assert abs(int(iters) - int(iters0)) <= 2
+
+
+def test_sharded_smooth_dtype(mesh):
+    """Reduced-precision smoother operators on the mesh: same convergence,
+    outer Krylov exact (sharded smooth_dtype port)."""
+    A, rhs = _poisson_interior(20)
+    opts = Options(replicate_threshold=500, smooth_dtype="float32")
+    hier, info = H.setup(A, opts)
+    sh, splits = shard_hierarchy(info, opts, mesh)
+    assert any(lv.A_smooth is not None for lv in sh.sharded)
+    u, iters, r0, rfin, hist = sharded_solve_pCG(
+        sh, splits, rhs, mesh, params=H.SolveParams.from_options(opts),
+        tol=1e-8, max_iter=100)
+    assert np.linalg.norm(rhs - A @ u) / np.linalg.norm(rhs) < 1e-7
+
+    opts0 = Options(replicate_threshold=500)
+    sh0, splits0 = shard_hierarchy(H.setup(A, opts0)[1], opts0, mesh)
+    _, iters0, *_ = sharded_solve_pCG(
+        sh0, splits0, rhs, mesh, params=H.SolveParams.from_options(opts0),
+        tol=1e-8, max_iter=100)
+    assert abs(int(iters) - int(iters0)) <= 1
