@@ -162,8 +162,11 @@ def main():
     try:
         # lean: double aggregation + bf16-stored smoother operators (same
         # iteration count, ~18% faster device solve; smoothers stay
-        # f32-accumulating — only streamed values shrink)
-        opts_l = Options(aggregation="double", smooth_dtype="bfloat16")
+        # f32-accumulating — only streamed values shrink) + the reference's
+        # INTERNAL 2+2 smoothing default (saena_object.h:162-163; 12 vs 10
+        # iters but 9% less end-to-end device time)
+        opts_l = Options(aggregation="double", smooth_dtype="bfloat16",
+                         preSmooth=2, postSmooth=2)
         t0 = time.perf_counter()
         hier_l, info_l = H.setup(A, opts_l, dtype=dtype)
         lean_setup_s = time.perf_counter() - t0
