@@ -25,14 +25,15 @@ def _build_and_load():
     if _TRIED:
         return _LIB
     _TRIED = True
-    src = os.path.join(_HERE, "gr_codec.cpp")
+    srcs = [os.path.join(_HERE, "gr_codec.cpp"),
+            os.path.join(_HERE, "mis1.cpp")]
     so = os.path.join(_HERE, "libsaena_native.so")
     try:
         if (not os.path.exists(so)
-                or os.path.getmtime(so) < os.path.getmtime(src)):
+                or os.path.getmtime(so) < max(map(os.path.getmtime, srcs))):
             subprocess.run(
                 ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                 "-std=c++17", src, "-o", so + ".tmp"],
+                 "-std=c++17", *srcs, "-o", so + ".tmp"],
                 check=True, capture_output=True)
             os.replace(so + ".tmp", so)
         lib = ctypes.CDLL(so)
@@ -52,6 +53,10 @@ def _build_and_load():
                                      ctypes.c_void_p]
         lib.delta_decode.restype = None
         lib.delta_decode.argtypes = lib.delta_encode.argtypes
+        lib.mis1_aggregate.restype = None
+        lib.mis1_aggregate.argtypes = [
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p]
         _LIB = lib
     except Exception:
         _LIB = None
@@ -145,6 +150,28 @@ def delta_decode(deltas: np.ndarray, seg_starts: np.ndarray) -> np.ndarray:
         base_vals = csum[starts] - deltas[starts]
         base = base_vals[grp - 1]
     return (csum - base).astype(np.uint32)
+
+
+def mis1_aggregate(indptr: np.ndarray, indices: np.ndarray):
+    """Single-pass lexicographic-first MIS(1) aggregation (mis1.cpp).
+
+    Returns (agg, is_root) with agg[i] = fine index of i's root — identical
+    to the vectorized min-index fixpoint in amg/strength.py (which reproduces
+    the reference's aggregation_1_dist), in one O(nnz) sweep instead of
+    O(wavefront-depth) rounds. Returns None when no native toolchain exists;
+    the caller falls back to the fixpoint.
+    """
+    lib = _build_and_load()
+    if lib is None:
+        return None
+    n = indptr.size - 1
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(indices, dtype=np.int32)
+    agg = np.empty(n, dtype=np.int64)
+    is_root = np.empty(n, dtype=np.uint8)
+    lib.mis1_aggregate(n, indptr.ctypes.data, indices.ctypes.data,
+                       agg.ctypes.data, is_root.ctypes.data)
+    return agg, is_root
 
 
 # ---- pure-python bitstream fallback (slow; only used without g++) ----

@@ -13,6 +13,8 @@ from __future__ import annotations
 import numpy as np
 import scipy.sparse as sp
 
+from saena_tpu import _native
+
 
 def _row_reduce(ufunc, vals, rows, n, identity):
     """Per-row ufunc reduction of (rows, vals) pairs with rows NOT assumed
@@ -74,14 +76,32 @@ def aggregate_mis1(S: sp.csr_matrix):
     """Distance-1 MIS aggregation, reproducing aggregation_1_dist
     (saena_object_setup1.cpp:724-995).
 
-    Per round, an undecided node i looks at its strength-neighbors j that are
-    undecided-or-root and takes the minimum index jm (the reference's
-    min-aggregate propagation); if none is below i, i becomes a root; if jm
-    is a decided root, i joins it; otherwise i waits for jm to decide.
+    The fixpoint (see _aggregate_mis1_fixpoint) resolves to the
+    lexicographically FIRST maximal independent set — a node's decision only
+    depends on strictly smaller indices — so the native single-pass sweep
+    (_native/mis1.cpp, O(nnz)) computes the identical aggregation without
+    the O(wavefront-depth) rounds; equivalence is pinned by
+    tests/test_amg.py. Falls back to the vectorized fixpoint without g++.
 
     Returns (agg, roots): agg[i] = coarse index of node i's aggregate,
     roots = fine indices of the root nodes (sorted).
     """
+    S = S.tocsr()
+    out = _native.mis1_aggregate(S.indptr, S.indices)
+    if out is None:
+        return _aggregate_mis1_fixpoint(S)
+    agg, is_root = out
+    roots = np.flatnonzero(is_root)
+    coarse_id = np.searchsorted(roots, agg)
+    return coarse_id.astype(np.int64), roots
+
+
+def _aggregate_mis1_fixpoint(S: sp.csr_matrix):
+    """Vectorized min-index propagation fixpoint — each round is exactly one
+    reference while-iteration: an undecided node i looks at its
+    strength-neighbors j that are undecided-or-root and takes the minimum
+    index jm; if none is below i, i becomes a root; if jm is a decided root,
+    i joins it; otherwise i waits for jm to decide."""
     n = S.shape[0]
     S = S.tocsr()
     indptr, indices = S.indptr, S.indices

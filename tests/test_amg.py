@@ -319,3 +319,30 @@ def test_smooth_dtype_reduced_operators():
     r1 = S.solve_pCG(red, rp, params=params, tol=1e-8, max_iter=100)
     assert float(r1.rel_res) < 1e-8
     assert abs(int(r1.iters) - int(r0.iters)) <= 1
+
+
+def test_mis1_native_matches_fixpoint():
+    """The native single-pass MIS(1) sweep (_native/mis1.cpp) must produce
+    the EXACT aggregation of the reference-parity min-index fixpoint — the
+    fixpoint resolves to the lexicographically first MIS, whose closed form
+    the native pass evaluates. Any divergence here would silently shift
+    hierarchies and iteration counts (goldens would also trip)."""
+    from saena_tpu.amg.strength import _aggregate_mis1_fixpoint
+    from saena_tpu.core.coo import remove_boundary_nodes
+    from saena_tpu.generators import random_symm_matrix
+    from saena_tpu import _native
+
+    if not _native.have_native():
+        pytest.skip("no native toolchain")
+
+    cases = []
+    A, *_ = remove_boundary_nodes(laplacian3D(20, 20, 20), np.zeros(20 ** 3))
+    cases.append(strength_graph(A.tocsr(), 0.3))
+    cases.append(strength_graph(A.tocsr(), 0.7))
+    cases.append(strength_graph(band_matrix(800, 25).tocsr(), 0.3))
+    cases.append(strength_graph(random_symm_matrix(700, 0.02, seed=5), 0.3))
+    for S_ in cases:
+        agg_n, roots_n = aggregate_mis1(S_)
+        agg_f, roots_f = _aggregate_mis1_fixpoint(S_)
+        assert np.array_equal(agg_n, agg_f)
+        assert np.array_equal(roots_n, roots_f)
