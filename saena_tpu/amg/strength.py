@@ -53,23 +53,45 @@ def _row_min_indices(cand, starts, counts, n, big):
 def strength_graph(A: sp.csr_matrix, theta: float) -> sp.csr_matrix:
     """S_ij = -a_ij / max_{k != i}(-a_ik); keep entries where S_ij > theta or
     S_ji > theta (union symmetrization, strength_matrix.cpp:233-271).
-    Returns a boolean-pattern CSR without the diagonal."""
-    A = A.tocsr()
-    n = A.shape[0]
-    coo = A.tocoo()
-    off = coo.row != coo.col
-    r, c, v = coo.row[off], coo.col[off], coo.data[off]
+    Returns a boolean-pattern CSR without the diagonal.
 
-    maxrow = _row_reduce(np.maximum, -v, r, n, -np.inf)
+    Built directly on the CSR arrays: the kept entries are a subset of A's
+    entries in CSR order, so S's indptr is a masked per-row count and its
+    indices a single boolean gather — no COO round-trip and no coo→csr sort
+    (those were ~60% of strength time on multi-Mnnz levels)."""
+    A = A.tocsr()
+    if not A.has_sorted_indices:
+        A.sort_indices()      # keeps S canonical (entries already row-major)
+    n = A.shape[0]
+    indptr, indices, data = A.indptr, A.indices, A.data
+    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+    isdiag = indices == rows
+    negv = -data
+
+    # per-row max of -a_ik over off-diagonal entries (CSR segments are
+    # contiguous; empty rows guarded like _row_reduce)
+    maxrow = np.full(n, -np.inf)
+    if negv.size:
+        starts = indptr[:-1].astype(np.int64)
+        seg = np.maximum.reduceat(np.where(isdiag, -np.inf, negv),
+                                  np.minimum(starts, negv.size - 1))
+        valid = np.diff(indptr) > 0
+        maxrow[valid] = seg[valid]
     # rows with no off-diagonal entries never produce strength edges
     safe = np.where(np.isfinite(maxrow) & (maxrow != 0), maxrow, 1.0)
 
-    s_row = -v / safe[r]          # scaled by the row's max
-    s_col = -v / safe[c]          # transpose scaling (symmetric-A shortcut)
-    keep = (s_row > theta) | (s_col > theta)
+    s_row = negv / safe[rows]     # scaled by the row's max
+    s_col = negv / safe[indices]  # transpose scaling (symmetric-A shortcut)
+    keep = ~isdiag & ((s_row > theta) | (s_col > theta))
+    cnt = np.zeros(n, dtype=np.int64)
+    if keep.size:
+        csum = np.concatenate([[0], np.cumsum(keep)])
+        cnt = csum[indptr[1:]] - csum[indptr[:-1]]
+    indptr_s = np.concatenate([[0], np.cumsum(cnt)])
+    indices_s = indices[keep]
     return sp.csr_matrix(
-        (np.ones(keep.sum(), dtype=np.int8), (r[keep], c[keep])), shape=(n, n)
-    )
+        (np.ones(indices_s.size, dtype=np.int8), indices_s, indptr_s),
+        shape=(n, n))
 
 
 def aggregate_mis1(S: sp.csr_matrix):
@@ -152,6 +174,14 @@ def find_aggregation(A: sp.csr_matrix, theta: float, adaptive: bool = False):
     (find_aggregation, saena_object_setup1.cpp:257-441).
 
     Returns (agg, n_coarse, theta_used)."""
+    agg, n_c, theta, _ = _find_aggregation_s(A, theta, adaptive)
+    return agg, n_c, theta
+
+
+def _find_aggregation_s(A: sp.csr_matrix, theta: float, adaptive: bool):
+    """find_aggregation that also returns the strength graph actually used,
+    so find_aggregation_double doesn't recompute it (one full O(nnz)
+    strength pass per level saved)."""
     S = strength_graph(A, theta)
     agg, roots = aggregate_mis1(S)
     n_c = roots.size
@@ -167,7 +197,7 @@ def find_aggregation(A: sp.csr_matrix, theta: float, adaptive: bool = False):
             n_c = roots.size
             division = A.shape[0] / max(1, n_c)
         theta = th
-    return agg, n_c, theta
+    return agg, n_c, theta, S
 
 
 def find_aggregation_double(A: sp.csr_matrix, theta: float,
@@ -187,11 +217,10 @@ def find_aggregation_double(A: sp.csr_matrix, theta: float,
     iterations — a large net win on V-cycle wall time and setup cost.
 
     Returns (agg, n_coarse, theta_used) like find_aggregation."""
-    agg1, nc1, theta_used = find_aggregation(A, theta, adaptive)
+    agg1, nc1, theta_used, S1 = _find_aggregation_s(A, theta, adaptive)
     n = A.shape[0]
     T = sp.csr_matrix(
         (np.ones(n), (np.arange(n), agg1)), shape=(n, nc1))
-    S1 = strength_graph(A, theta_used)
     Sc = (T.T @ S1 @ T).tocsr()
     Sc.setdiag(0)
     Sc.eliminate_zeros()
