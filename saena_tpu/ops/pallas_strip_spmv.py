@@ -246,10 +246,12 @@ def _plan(row, col, n, m, perrow):
                 perrow=perrow, rpt=rpt)
 
 
-_SAMPLE_NNZ = 400_000     # planner decisions come from a STRATIFIED row
+_SAMPLE_NNZ = 150_000     # planner decisions come from a STRATIFIED row
                           # sample above this size: the full 5-candidate
                           # sweep was 67 s of a 105 s TPU 48^3 setup
-                          # (VERDICT r1 #3)
+                          # (VERDICT r1 #3). 150k keeps the 48^3 fine-level
+                          # A/P/R sweeps sampled too; picks at 150k match
+                          # the 400k picks on every bundled workload.
 _SEG = 1024               # sampling segment: whole tiles for every rpt
                           # candidate (rpt <= 1024), so the sampled layout
                           # is structurally faithful
@@ -289,6 +291,31 @@ def _best_plan(row, col, n, m, perrow=None):
     return _plan(row, col, n, m, pr)
 
 
+def _pick_cached(A: sp.spmatrix, perrow: int | None = None):
+    """(perrow, padded_pairs) for a CSR, memoized ON the matrix object keyed
+    by (shape, nnz). The pick depends only on the sparsity pattern, and the
+    full _plan always re-runs on the actual pattern at conversion time, so a
+    stale cache entry can only cost optimality, never correctness. Setup
+    probes the same host CSR from format selection, bytes estimates, and the
+    final conversion — this collapses those repeated candidate sweeps."""
+    A = A.tocsr()
+    if perrow is not None:
+        coo = A.tocoo()
+        return _pick_candidate(coo.row, coo.col, A.shape[0], A.shape[1],
+                               perrow)
+    key = (A.shape, A.nnz)
+    tok = getattr(A, "_saena_strip_pick", None)
+    if tok is not None and tok[0] == key:
+        return tok[1]
+    coo = A.tocoo()
+    res = _pick_candidate(coo.row, coo.col, A.shape[0], A.shape[1])
+    try:
+        A._saena_strip_pick = (key, res)
+    except AttributeError:
+        pass
+    return res
+
+
 def strip_from_csr(A: sp.spmatrix, dtype=jnp.float32,
                    perrow: int | None = None) -> StripMatrix:
     """Host conversion CSR -> strip-gather pairs (planner picks perrow/krb
@@ -296,7 +323,8 @@ def strip_from_csr(A: sp.spmatrix, dtype=jnp.float32,
     A = A.tocsr()
     n, m = A.shape
     coo = A.tocoo()
-    pln = _best_plan(coo.row, coo.col, n, m, perrow)
+    pr, _ = _pick_cached(A, perrow)
+    pln = _plan(coo.row, coo.col, n, m, pr)
     pr, krb, rpt = pln["perrow"], pln["krb"], pln["rpt"]
     Q = 128 // pr
     n_rb = pln["n_rb"]
@@ -348,9 +376,7 @@ def strip_bytes_estimate(A: sp.spmatrix, dtype=jnp.float32) -> int:
     """Footprint the strip conversion would need (for format selection) —
     planner score from a row-block sample on large operators (exact plan
     on small ones), so format selection never pays a full-nnz sweep."""
-    A = A.tocsr()
-    coo = A.tocoo()
-    _, padded = _pick_candidate(coo.row, coo.col, A.shape[0], A.shape[1])
+    _, padded = _pick_cached(A.tocsr())
     return int(padded * 8 * 128 * (1 + jnp.dtype(dtype).itemsize))
 
 
