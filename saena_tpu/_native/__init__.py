@@ -165,6 +165,10 @@ def mis1_aggregate(indptr: np.ndarray, indices: np.ndarray):
     if lib is None:
         return None
     n = indptr.size - 1
+    # mis1.cpp walks int32 column indices; narrowing a >=2^31 index would
+    # silently wrap, so route such (pathological) graphs to the fixpoint
+    if n >= 2**31 or (indices.size and int(indices.max()) >= 2**31):
+        return None
     indptr = np.ascontiguousarray(indptr, dtype=np.int64)
     indices = np.ascontiguousarray(indices, dtype=np.int32)
     agg = np.empty(n, dtype=np.int64)

@@ -58,9 +58,18 @@ def strength_graph(A: sp.csr_matrix, theta: float) -> sp.csr_matrix:
     Built directly on the CSR arrays: the kept entries are a subset of A's
     entries in CSR order, so S's indptr is a masked per-row count and its
     indices a single boolean gather — no COO round-trip and no coo→csr sort
-    (those were ~60% of strength time on multi-Mnnz levels)."""
+    (those were ~60% of strength time on multi-Mnnz levels).
+
+    S inherits A's duplicates: a non-canonical A (duplicate column entries)
+    yields an S with duplicate indices. Current consumers (the MIS pattern
+    walk, T.T@S@T) tolerate that; call sum_duplicates upstream if a future
+    consumer assumes canonical CSR."""
     A = A.tocsr()
     if not A.has_sorted_indices:
+        # sort a COPY: sorting in place would reorder the caller's
+        # indices/data arrays as a side effect (host CSRs are kept
+        # entry-order-stable for lazy value updates)
+        A = A.copy()
         A.sort_indices()      # keeps S canonical (entries already row-major)
     n = A.shape[0]
     indptr, indices, data = A.indptr, A.indices, A.data
