@@ -27,13 +27,20 @@ def _build_and_load():
     _TRIED = True
     srcs = [os.path.join(_HERE, "gr_codec.cpp"),
             os.path.join(_HERE, "mis1.cpp"),
-            os.path.join(_HERE, "spgemm.cpp")]
+            os.path.join(_HERE, "spgemm.cpp"),
+            os.path.join(_HERE, "stripplan.cpp"),
+            os.path.join(_HERE, "strength.cpp")]
     so = os.path.join(_HERE, "libsaena_native.so")
     try:
         if (not os.path.exists(so)
                 or os.path.getmtime(so) < max(map(os.path.getmtime, srcs))):
+            # -ffp-contract=off: no silent FMA fusion — the SpGEMM/SpMV
+            # kernels must produce the same floating-point results as the
+            # scipy/torch paths they replace (convergence goldens pin
+            # iteration counts to the bit)
             subprocess.run(
-                ["g++", "-O3", "-march=native", "-fopenmp", "-shared",
+                ["g++", "-O3", "-march=native", "-ffp-contract=off",
+                 "-fopenmp", "-shared",
                  "-fPIC", "-std=c++17", *srcs, "-o", so + ".tmp"],
                 check=True, capture_output=True)
             os.replace(so + ".tmp", so)
@@ -68,6 +75,21 @@ def _build_and_load():
         lib.spgemm_csr_finish.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p]
+        lib.strip_plan_core.restype = ctypes.c_int64
+        lib.strip_plan_core.argtypes = [
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p]
+        lib.strength_keep.restype = ctypes.c_int64
+        lib.strength_keep.argtypes = [
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_double, ctypes.c_void_p,
+            ctypes.c_void_p]
+        lib.csr_matvec.restype = None
+        lib.csr_matvec.argtypes = [
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
         _LIB = lib
     except Exception:
         _LIB = None
@@ -187,6 +209,71 @@ def mis1_aggregate(indptr: np.ndarray, indices: np.ndarray):
     lib.mis1_aggregate(n, indptr.ctypes.data, indices.ctypes.data,
                        agg.ctypes.data, is_root.ctypes.data)
     return agg, is_root
+
+
+def strip_plan_core(row, col, rpt: int, n_strips: int, perrow: int):
+    """Native slot/pair assignment for the strip-gather planner
+    (stripplan.cpp). Entries must be sorted by (row, col) — canonical CSR
+    order. Returns (slot int8, inv int32, pair_rb int32, pair_strip int32)
+    with the pair arrays truncated to the unique-pair count, or None when
+    no toolchain exists / inputs are unsorted or too wide (the numpy
+    planner handles those)."""
+    lib = _build_and_load()
+    if lib is None:
+        return None
+    nnz = row.size
+    row = np.ascontiguousarray(row, dtype=np.int64)
+    col = np.ascontiguousarray(col, dtype=np.int64)
+    slot = np.empty(nnz, dtype=np.int8)
+    inv = np.empty(nnz, dtype=np.int32)
+    pair_rb = np.empty(nnz, dtype=np.int32)
+    pair_strip = np.empty(nnz, dtype=np.int32)
+    n_pairs = lib.strip_plan_core(
+        nnz, row.ctypes.data, col.ctypes.data, rpt, n_strips, perrow,
+        slot.ctypes.data, inv.ctypes.data, pair_rb.ctypes.data,
+        pair_strip.ctypes.data)
+    if n_pairs < 0:
+        return None
+    return slot, inv, pair_rb[:n_pairs].copy(), pair_strip[:n_pairs].copy()
+
+
+def strength_keep(indptr, indices, data, theta: float):
+    """Native strength-graph keep mask (strength.cpp): per-row max of
+    -offdiag + union-symmetrized threshold test, bit-identical to the numpy
+    path in amg/strength.py. Returns (keep uint8, kept count) or None."""
+    lib = _build_and_load()
+    if lib is None:
+        return None
+    n = indptr.size - 1
+    if n >= 2**31 or (indices.size and indices.dtype.itemsize > 4
+                      and indices.max() >= 2**31):
+        return None
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(indices, dtype=np.int32)
+    data = np.ascontiguousarray(data, dtype=np.float64)
+    keep = np.empty(indices.size, dtype=np.uint8)
+    safe = np.empty(n, dtype=np.float64)
+    kept = lib.strength_keep(n, indptr.ctypes.data, indices.ctypes.data,
+                             data.ctypes.data, float(theta),
+                             keep.ctypes.data, safe.ctypes.data)
+    return keep.view(bool), int(kept)
+
+
+def csr_matvec(indptr, indices, data, x, out=None):
+    """Native y = A x with scipy-identical per-row sequential accumulation
+    (strength.cpp). Returns None when no toolchain exists."""
+    lib = _build_and_load()
+    if lib is None:
+        return None
+    n = indptr.size - 1
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(indices, dtype=np.int32)
+    data = np.ascontiguousarray(data, dtype=np.float64)
+    x = np.ascontiguousarray(x, dtype=np.float64)
+    y = out if out is not None else np.empty(n, dtype=np.float64)
+    lib.csr_matvec(n, indptr.ctypes.data, indices.ctypes.data,
+                   data.ctypes.data, x.ctypes.data, y.ctypes.data)
+    return y
 
 
 def spgemm_csr(A, B):

@@ -20,7 +20,15 @@ def eig_max_invdiag_host(A: sp.csr_matrix) -> float:
     d = A.diagonal()
     d_safe = np.where(d == 0, 1.0, d)
     dinv_sqrt = 1.0 / np.sqrt(np.abs(d_safe))
-    S = sp.diags(dinv_sqrt) @ A @ sp.diags(dinv_sqrt)
+    # S = diag(ds) A diag(ds) by direct data scaling — the same per-entry
+    # products (ds_i * a_ij) * ds_j the two sparse diag matmuls compute,
+    # without materializing two intermediate CSRs
+    A = A.tocsr()
+    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(A.indptr))
+    S = sp.csr_matrix(
+        ((dinv_sqrt[rows] * A.data) * dinv_sqrt[A.indices],
+         A.indices, A.indptr), shape=A.shape)
+    S.has_sorted_indices = A.has_sorted_indices
     # sign of diagonal is folded back: for SPD systems d > 0
     if n <= 512:
         w = np.linalg.eigvalsh(np.asarray(S.todense()))
@@ -45,6 +53,7 @@ def _lanczos_reorth_host(S, m: int = 40, blocks: int = 6,
     endpoint-sensitive matrices. O(m^2 n); gated to n <= 6144 by the
     caller."""
     n = S.shape[0]
+    mv = _host_matvec(S)
     rng = np.random.default_rng(0)
     v = rng.standard_normal(n)
     v /= np.linalg.norm(v)
@@ -55,7 +64,7 @@ def _lanczos_reorth_host(S, m: int = 40, blocks: int = 6,
     ritz = bound = 0.0
     for blk in range(blocks):
         for _ in range(m):
-            w = S @ V[j]
+            w = mv(V[j])
             a = float(V[j] @ w)
             alphas.append(a)
             w -= a * V[j]
@@ -79,6 +88,22 @@ def _lanczos_reorth_host(S, m: int = 40, blocks: int = 6,
     return ritz + bound
 
 
+def _host_matvec(S):
+    """S @ x closure: the native OpenMP CSR SpMV when available (scipy-
+    identical per-row sequential accumulation, strength.cpp — bitwise-same
+    Lanczos iterates), scipy otherwise. Arrays are pre-converted once so
+    the per-iteration call is allocation-free aside from the output."""
+    from saena_tpu import _native
+
+    if not _native.have_native():
+        return lambda x: S @ x
+    S = S.tocsr()
+    indptr = np.ascontiguousarray(S.indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(S.indices, dtype=np.int32)
+    data = np.ascontiguousarray(S.data, dtype=np.float64)
+    return lambda x: _native.csr_matvec(indptr, indices, data, x)
+
+
 def _lanczos_host(S, m: int = 96, rtol: float = 1e-6) -> float:
     """Plain 3-term Lanczos (no reorthogonalization) for the extreme Ritz
     value (the reference runs lambda_lanczos, lamlan_saena.h:13-79, which is
@@ -91,6 +116,7 @@ def _lanczos_host(S, m: int = 96, rtol: float = 1e-6) -> float:
     Returns ritz + residual bound so the Chebyshev interval sits at or above
     lambda_max. Cost: <= m SpMVs + O(m n)."""
     n = S.shape[0]
+    mv = _host_matvec(S)
     rng = np.random.default_rng(0)
     v = rng.standard_normal(n)
     v /= np.linalg.norm(v)
@@ -107,7 +133,7 @@ def _lanczos_host(S, m: int = 96, rtol: float = 1e-6) -> float:
         return float(evals[-1]), float(abs(beta_prev * evecs[-1, -1]))
 
     for j in range(m):
-        w = S @ v - beta_prev * v_prev
+        w = mv(v) - beta_prev * v_prev
         a = float(v @ w)
         alphas.append(a)
         w -= a * v

@@ -73,25 +73,32 @@ def strength_graph(A: sp.csr_matrix, theta: float) -> sp.csr_matrix:
         A.sort_indices()      # keeps S canonical (entries already row-major)
     n = A.shape[0]
     indptr, indices, data = A.indptr, A.indices, A.data
-    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
-    isdiag = indices == rows
-    negv = -data
 
-    # per-row max of -a_ik over off-diagonal entries (CSR segments are
-    # contiguous; empty rows guarded like _row_reduce)
-    maxrow = np.full(n, -np.inf)
-    if negv.size:
-        starts = indptr[:-1].astype(np.int64)
-        seg = np.maximum.reduceat(np.where(isdiag, -np.inf, negv),
-                                  np.minimum(starts, negv.size - 1))
-        valid = np.diff(indptr) > 0
-        maxrow[valid] = seg[valid]
-    # rows with no off-diagonal entries never produce strength edges
-    safe = np.where(np.isfinite(maxrow) & (maxrow != 0), maxrow, 1.0)
+    nat = _native.strength_keep(indptr, indices, data, theta) \
+        if data.size else None
+    if nat is not None:
+        # native two-pass keep mask (strength.cpp) — bit-identical test
+        keep, _ = nat
+    else:
+        rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+        isdiag = indices == rows
+        negv = -data
 
-    s_row = negv / safe[rows]     # scaled by the row's max
-    s_col = negv / safe[indices]  # transpose scaling (symmetric-A shortcut)
-    keep = ~isdiag & ((s_row > theta) | (s_col > theta))
+        # per-row max of -a_ik over off-diagonal entries (CSR segments are
+        # contiguous; empty rows guarded like _row_reduce)
+        maxrow = np.full(n, -np.inf)
+        if negv.size:
+            starts = indptr[:-1].astype(np.int64)
+            seg = np.maximum.reduceat(np.where(isdiag, -np.inf, negv),
+                                      np.minimum(starts, negv.size - 1))
+            valid = np.diff(indptr) > 0
+            maxrow[valid] = seg[valid]
+        # rows with no off-diagonal entries never produce strength edges
+        safe = np.where(np.isfinite(maxrow) & (maxrow != 0), maxrow, 1.0)
+
+        s_row = negv / safe[rows]     # scaled by the row's max
+        s_col = negv / safe[indices]  # transpose scaling (symmetric-A
+        keep = ~isdiag & ((s_row > theta) | (s_col > theta))  # shortcut)
     cnt = np.zeros(n, dtype=np.int64)
     if keep.size:
         csum = np.concatenate([[0], np.cumsum(keep)])

@@ -139,9 +139,16 @@ def _kernel(sb_of, strip_of, rb_local, x_ref, idx_ref, vals_ref, o_ref,
             lane_idx = idx_ref[k].astype(jnp.int32)          # widen in vregs
             g = jnp.take_along_axis(src, lane_idx, axis=1)   # vreg gather
             contrib = vals_ref[k] * g                    # (8, 128)
-            c = contrib[:, 0:Q]
-            for m in range(1, perrow):
-                c = c + contrib[:, m * Q:(m + 1) * Q]    # (8, Q)
+            # per-row reduction over the perrow slot groups as a log2 lane
+            # FOLD: lanes j and j + w share (j % Q) = the same row, so
+            # halving sums slot pairs (m, m + perrow/2) — log2(perrow)
+            # vector adds instead of perrow-1 (each sub-vreg slice add
+            # costs a full vreg op on the VPU)
+            c = contrib
+            w = 64
+            while w >= Q:
+                c = c[:, :w] + c[:, w:2 * w]             # (8, w)
+                w //= 2
             if krb == 1:
                 acc = acc + c[None]
             else:
@@ -194,39 +201,50 @@ def strip_spmv(A: StripMatrix, x: jax.Array, interpret: bool = False):
 
 def _plan(row, col, n, m, perrow):
     """Pair layout for one perrow candidate. Returns
-    (pair_rb, pair_strip, replica, slot, inv, krb, padded_pairs, score)."""
+    (pair_rb, pair_strip, slot, inv, krb, padded_pairs, score)."""
     rpt = _rpt(perrow)
     n_strips = pad_to(m) // 128
     n_rows_pad = pad_to(n, rpt)
     n_rb = n_rows_pad // rpt
-    rb = row // rpt
-    strip = col // 128
 
-    # per (rb, strip, row) running slot index k; entries with k >= perrow
-    # overflow into a REPEATED pair (same rb/strip, next replica)
-    key_rsr = (rb.astype(np.int64) * n_strips + strip) * n_rows_pad + row
-    order = np.argsort(key_rsr, kind="stable")
-    k = np.zeros(row.size, dtype=np.int64)
-    if row.size:
-        kr = key_rsr[order]
-        same = np.concatenate([[False], kr[1:] == kr[:-1]])
-        breaks = np.flatnonzero(~same)
-        seg_id = np.cumsum(~same) - 1
-        starts = breaks[seg_id]
-        k[order] = np.arange(row.size) - starts
-    replica = k // perrow
-    slot = k % perrow
-
-    cap = 128 // perrow          # replica < cap (<=128 entries/row/strip)
-    pkey = ((rb.astype(np.int64) * n_strips + strip) * cap
-            + np.minimum(replica, cap - 1))
-    if row.size:
-        uniq, inv = np.unique(pkey, return_inverse=True)
+    # entry -> (slot within row, pair id) plus the sorted unique pair list.
+    # Native core (stripplan.cpp): run-length slot assignment (canonical-CSR
+    # entries are already (row, strip)-sorted) + radix pair dedup, O(nnz) —
+    # replaces two O(nnz log nnz) numpy sorts
+    from saena_tpu import _native
+    nat = _native.strip_plan_core(row, col, rpt, n_strips, perrow) \
+        if row.size else None
+    if nat is not None:
+        slot, inv, pair_rb, pair_strip = nat
+        pair_rb = pair_rb.astype(np.int64)
     else:
-        uniq = np.array([], dtype=np.int64)
-        inv = np.array([], dtype=np.int64)
-    pair_rb = (uniq // (cap * n_strips)).astype(np.int64)
-    pair_strip = ((uniq // cap) % n_strips).astype(np.int32)
+        rb = row // rpt
+        strip = col // 128
+        # per (rb, strip, row) running slot index k; entries with k >=
+        # perrow overflow into a REPEATED pair (same rb/strip, next replica)
+        key_rsr = (rb.astype(np.int64) * n_strips + strip) * n_rows_pad + row
+        order = np.argsort(key_rsr, kind="stable")
+        k = np.zeros(row.size, dtype=np.int64)
+        if row.size:
+            kr = key_rsr[order]
+            same = np.concatenate([[False], kr[1:] == kr[:-1]])
+            breaks = np.flatnonzero(~same)
+            seg_id = np.cumsum(~same) - 1
+            starts = breaks[seg_id]
+            k[order] = np.arange(row.size) - starts
+        replica = k // perrow
+        slot = k % perrow
+
+        cap = 128 // perrow      # replica < cap (<=128 entries/row/strip)
+        pkey = ((rb.astype(np.int64) * n_strips + strip) * cap
+                + np.minimum(replica, cap - 1))
+        if row.size:
+            uniq, inv = np.unique(pkey, return_inverse=True)
+        else:
+            uniq = np.array([], dtype=np.int64)
+            inv = np.array([], dtype=np.int64)
+        pair_rb = (uniq // (cap * n_strips)).astype(np.int64)
+        pair_strip = ((uniq // cap) % n_strips).astype(np.int32)
 
     # pick krb: traffic (padded pairs) vs VPU mask work (krb/2 cycles/pair)
     best = None
@@ -239,8 +257,8 @@ def _plan(row, col, n, m, perrow):
         if best is None or score < best[2]:
             best = (krb, padded, score)
     krb, padded_pairs, score = best
-    return dict(pair_rb=pair_rb, pair_strip=pair_strip, uniq=uniq, inv=inv,
-                replica=replica, slot=slot, krb=krb,
+    return dict(pair_rb=pair_rb, pair_strip=pair_strip, inv=inv,
+                slot=slot, krb=krb,
                 padded_pairs=padded_pairs, score=score,
                 n_rb=n_rb, n_rows_pad=n_rows_pad, n_strips=n_strips,
                 perrow=perrow, rpt=rpt)
@@ -354,7 +372,9 @@ def strip_from_csr(A: sp.spmatrix, dtype=jnp.float32,
         rb_local[pos] = (pair_rb % krb).astype(np.int32)
         sub = coo.row % 8
         q = (coo.row % rpt) // 8
-        j = pln["slot"] * Q + q          # slot groups are contiguous lanes
+        # slot groups are contiguous lanes (int64: the native core returns
+        # int8 slots and Q can be 128)
+        j = pln["slot"].astype(np.int64) * Q + q
         idx[pos[pln["inv"]], sub, j] = coo.col % 128
         vals[pos[pln["inv"]], sub, j] = coo.data
     sb_of = np.repeat(np.arange(n_sb), padded // GROUP).astype(np.int32)
