@@ -403,8 +403,27 @@ def devicify(
     for l, Acsr in enumerate(csr_levels):
         dt = low_dtype if l >= opts.float_level else dtype
         is_coarsest = l == n_lv - 1
+        # reduced-precision smoother twin built at conversion time from the
+        # same host arrays — a device-side astype would pay one remote XLA
+        # compile per level (DIA keeps f32: its Pallas kernel is f32-tiled
+        # and the fine stencil smoother is far below the mid-level cost)
+        sm_dt = None
+        if opts.smooth_dtype and not is_coarsest:
+            sm_dt = jnp.dtype(opts.smooth_dtype)
+            if sm_dt == jnp.dtype(dt):
+                sm_dt = None
+        A_smooth = None
         if is_coarsest and opts.direct_solver == "LU":
             Adev = dense_from_csr(Acsr, dtype=dt, unit_diag_pad=True)
+        elif sm_dt is not None:
+            Adev, A_smooth = device_matrix_from_csr(
+                Acsr,
+                dtype=dt,
+                dense_thre=opts.dense_thre,
+                dense_sz_thre=opts.dense_sz_thre,
+                switch_to_dense=opts.switch_to_dense and (l > 0 or use_dense),
+                smooth_dtype=sm_dt,
+            )
         else:
             Adev = device_matrix_from_csr(
                 Acsr,
@@ -448,14 +467,6 @@ def devicify(
             if P_dev is None:
                 P_dev = _transfer_from_csr(Ps[l], dt_next)
                 R_dev = _transfer_from_csr(Rs[l], dt_next)
-
-        A_smooth = None
-        if opts.smooth_dtype and not is_coarsest:
-            sm_dt = jnp.dtype(opts.smooth_dtype)
-            # DIA keeps f32: its Pallas kernel is f32-tiled and the fine
-            # stencil smoother is already far below the mid-level cost
-            if sm_dt != jnp.dtype(dt) and type(Adev).__name__ != "DiaMatrix":
-                A_smooth = Adev.astype(sm_dt)
 
         levels.append(
             # inv_diag carries the VECTOR dtype: smoother/residual arithmetic

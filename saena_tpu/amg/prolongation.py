@@ -53,6 +53,12 @@ def smoothed_prolongator(
     psmoother: str = "jacobi",
 ) -> sp.csr_matrix:
     """P = (I - omega Q A) P_t (see smoothing_diag for Q and omega)."""
+    # NOTE: this product stays on scipy verbatim — its accumulation order
+    # (including the UNSORTED intermediate diags@A entry order) feeds the
+    # P values, and a ~1-ulp reordering is enough to move the iteration
+    # count of barely-converging goldens (SiH4: 144 vs 142). The native
+    # Gustavson engine carries the Galerkin RAP instead (bitwise-identical
+    # to the torch path there, verified on SiH4).
     wq = smoothing_diag(A, omega, psmoother)
     q, w = wq, 1.0
     Pt = tentative_prolongator(agg, n_coarse)

@@ -243,14 +243,21 @@ def ell_from_csr(
     width: Optional[int] = None,
     width_quantile: float = 1.0,
     col_perm: Optional[np.ndarray] = None,
+    smooth_dtype=None,
 ) -> EllMatrix:
     """Convert CSR to hybrid slot-major ELL.
 
     width defaults to the max row nnz; with width_quantile < 1 it is cut at
     that quantile and the tail spills to COO (for skewed Florida-style rows).
+
+    smooth_dtype: also return a reduced-precision twin sharing the index
+    arrays, with values uploaded at that dtype from the HOST — a device-side
+    astype would cost one remote XLA compile per level (Options.smooth_dtype).
     """
     A = A.tocsr()
-    A.sort_indices()
+    if not A.has_sorted_indices:
+        A = A.copy()          # don't reorder the caller's entry order
+        A.sort_indices()
     n, m = A.shape
     nnz_per_row = np.diff(A.indptr)
     if width is None:
@@ -290,7 +297,7 @@ def ell_from_csr(
         cols = col_perm[cols].astype(np.int32)
         s_cols = col_perm[s_cols].astype(np.int32)
 
-    return EllMatrix(
+    M = EllMatrix(
         cols=jnp.asarray(cols),
         vals=to_device(vals, dtype),
         spill_rows=jnp.asarray(s_rows),
@@ -299,6 +306,11 @@ def ell_from_csr(
         shape=(n, m),
         nnz=int(A.nnz),
     )
+    if smooth_dtype is None:
+        return M
+    return M, dataclasses.replace(
+        M, vals=to_device(vals, smooth_dtype),
+        spill_vals=to_device(s_vals, smooth_dtype))
 
 
 def _ranges(counts: np.ndarray) -> np.ndarray:
@@ -312,8 +324,11 @@ def _ranges(counts: np.ndarray) -> np.ndarray:
     return ids - starts
 
 
-def bsr_from_csr(A: sp.spmatrix, dtype=jnp.float32) -> BsrMatrix:
-    """Convert CSR to (8, 128)-block BSR (block-ELL across rows)."""
+def bsr_from_csr(A: sp.spmatrix, dtype=jnp.float32,
+                 smooth_dtype=None) -> BsrMatrix:
+    """Convert CSR to (8, 128)-block BSR (block-ELL across rows).
+    smooth_dtype: also return a host-cast reduced-precision twin (see
+    ell_from_csr)."""
     A = A.tocsr()
     n, m = A.shape
     n_br = pad_to(n) // 8
@@ -340,11 +355,14 @@ def bsr_from_csr(A: sp.spmatrix, dtype=jnp.float32) -> BsrMatrix:
     bcols = np.zeros((n_br, W), dtype=np.int32)
     bcols[u_br, slot] = u_bc
     blocks[u_br[inv], slot[inv], coo.row % 8, coo.col % 128] = coo.data
-    return BsrMatrix(
+    M = BsrMatrix(
         blocks=to_device(blocks, dtype),
         bcols=jnp.asarray(bcols),
         shape=(n, m), nnz=int(A.nnz),
     )
+    if smooth_dtype is None:
+        return M
+    return M, dataclasses.replace(M, blocks=to_device(blocks, smooth_dtype))
 
 
 def bsr_bytes_estimate(A: sp.spmatrix, dtype=jnp.float32) -> int:
@@ -405,7 +423,9 @@ def dia_from_csr(A: sp.spmatrix, dtype=jnp.float32) -> DiaMatrix:
     )
 
 
-def dense_from_csr(A: sp.spmatrix, dtype=jnp.float32, unit_diag_pad: bool = False) -> DenseMatrix:
+def dense_from_csr(A: sp.spmatrix, dtype=jnp.float32,
+                   unit_diag_pad: bool = False,
+                   smooth_dtype=None) -> DenseMatrix:
     n, m = A.shape
     n_pad, m_pad = pad_to(n), pad_to(m)
     d = np.zeros((n_pad, m_pad), dtype=np.float64)
@@ -413,7 +433,11 @@ def dense_from_csr(A: sp.spmatrix, dtype=jnp.float32, unit_diag_pad: bool = Fals
     if unit_diag_pad and n_pad == m_pad:
         idx = np.arange(n, n_pad)
         d[idx, idx] = 1.0  # keep padded system nonsingular for LU
-    return DenseMatrix(data=to_device(d, dtype), shape=(n, m), nnz=int(A.nnz))
+    M = DenseMatrix(data=to_device(d, dtype), shape=(n, m), nnz=int(A.nnz))
+    if smooth_dtype is None:
+        return M
+    return M, DenseMatrix(data=to_device(d, smooth_dtype), shape=(n, m),
+                          nnz=int(A.nnz))
 
 
 def device_matrix_from_csr(
@@ -427,6 +451,7 @@ def device_matrix_from_csr(
     prefer_bsr: Optional[bool] = None,
     bsr_max_bytes: int = 768 * 1024 * 1024,
     bsr_max_bytes_per_nnz: int = 1024,
+    smooth_dtype=None,
 ) -> DeviceMatrix:
     """Pick the best device format for a matrix.
 
@@ -439,17 +464,24 @@ def device_matrix_from_csr(
     bounded (bsr_max_bytes / bytes-per-nnz caps). prefer_bsr=None
     auto-selects BSR on TPU backends only — on CPU the scalar gather is
     cheap and ELL wins.
+
+    smooth_dtype: when set, returns (M, M_smooth|None) — the reduced-
+    precision twin is built from the SAME host arrays (no device astype,
+    which would pay one remote XLA compile per level). DIA returns None
+    (its Pallas kernel is f32-tiled; hierarchy.py skips DIA smoothing
+    copies anyway).
     """
     A = A.tocsr()
     n, m = A.shape
     density = A.nnz / max(1, n * m)
+    ret = (lambda M: M) if smooth_dtype is None else (lambda M: (M, None))
     if switch_to_dense and density > dense_thre and max(n, m) <= dense_sz_thre:
-        return dense_from_csr(A, dtype=dtype)
+        return dense_from_csr(A, dtype=dtype, smooth_dtype=smooth_dtype)
     if n == m and A.nnz > 0:
         offs = dia_offsets_of(A)
         fill = A.nnz / (offs.size * n)
         if offs.size <= max_dia_diags and fill >= dia_fill_thre:
-            return dia_from_csr(A, dtype=dtype)
+            return ret(dia_from_csr(A, dtype=dtype))
         # wide-stencil DIA: Galerkin coarse operators of grid problems keep
         # ~100 diagonals at high fill — the Pallas kernel streams that at
         # HBM rate (12x the strip-gather kernel measured on the 48^3
@@ -462,7 +494,7 @@ def device_matrix_from_csr(
             if jax.default_backend() == "tpu" and \
                     dia_supported(tuple(int(o) for o in offs), pad_to(n),
                                   dtype):
-                return dia_from_csr(A, dtype=dtype)
+                return ret(dia_from_csr(A, dtype=dtype))
     if prefer_bsr is None:
         import jax
 
@@ -477,8 +509,10 @@ def device_matrix_from_csr(
         if strip_supported(A, dtype) and A.nnz >= 4096:
             s_est = strip_bytes_estimate(A, dtype)
             if s_est <= bsr_max_bytes and s_est <= bsr_max_bytes_per_nnz * A.nnz:
-                return strip_from_csr(A, dtype=dtype)
+                return strip_from_csr(A, dtype=dtype,
+                                      smooth_dtype=smooth_dtype)
         est = bsr_bytes_estimate(A, dtype)
         if est <= bsr_max_bytes and est <= bsr_max_bytes_per_nnz * A.nnz:
-            return bsr_from_csr(A, dtype=dtype)
-    return ell_from_csr(A, dtype=dtype, width_quantile=0.98)
+            return bsr_from_csr(A, dtype=dtype, smooth_dtype=smooth_dtype)
+    return ell_from_csr(A, dtype=dtype, width_quantile=0.98,
+                        smooth_dtype=smooth_dtype)

@@ -335,9 +335,12 @@ def _pick_cached(A: sp.spmatrix, perrow: int | None = None):
 
 
 def strip_from_csr(A: sp.spmatrix, dtype=jnp.float32,
-                   perrow: int | None = None) -> StripMatrix:
+                   perrow: int | None = None,
+                   smooth_dtype=None) -> StripMatrix:
     """Host conversion CSR -> strip-gather pairs (planner picks perrow/krb
-    unless ``perrow`` is forced)."""
+    unless ``perrow`` is forced). smooth_dtype: also return a twin sharing
+    the index arrays, values uploaded at that dtype from the host (a device
+    astype would cost a remote XLA compile per level)."""
     A = A.tocsr()
     n, m = A.shape
     coo = A.tocoo()
@@ -379,7 +382,7 @@ def strip_from_csr(A: sp.spmatrix, dtype=jnp.float32,
         vals[pos[pln["inv"]], sub, j] = coo.data
     sb_of = np.repeat(np.arange(n_sb), padded // GROUP).astype(np.int32)
 
-    return StripMatrix(
+    M = StripMatrix(
         idx=jnp.asarray(idx),
         vals=to_device(vals, dtype),
         strip_of=jnp.asarray(strip_of),
@@ -390,6 +393,9 @@ def strip_from_csr(A: sp.spmatrix, dtype=jnp.float32,
         n_rows_pad=n_rows_pad, n_cols_pad=n_cols_pad,
         n_out=pad_to(n),
     )
+    if smooth_dtype is None:
+        return M
+    return M, dataclasses.replace(M, vals=to_device(vals, smooth_dtype))
 
 
 def strip_bytes_estimate(A: sp.spmatrix, dtype=jnp.float32) -> int:
