@@ -29,6 +29,7 @@ def _build_and_load():
             os.path.join(_HERE, "mis1.cpp"),
             os.path.join(_HERE, "spgemm.cpp"),
             os.path.join(_HERE, "stripplan.cpp"),
+            os.path.join(_HERE, "strip8plan.cpp"),
             os.path.join(_HERE, "strength.cpp")]
     so = os.path.join(_HERE, "libsaena_native.so")
     try:
@@ -81,6 +82,14 @@ def _build_and_load():
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p]
+        lib.strip8_plan_core.restype = ctypes.c_int64
+        lib.strip8_plan_core.argtypes = [
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+        lib.strip8i_plan_core.restype = ctypes.c_int64
+        lib.strip8i_plan_core.argtypes = lib.strip8_plan_core.argtypes
         lib.strength_keep.restype = ctypes.c_int64
         lib.strength_keep.argtypes = [
             ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
@@ -235,6 +244,60 @@ def strip_plan_core(row, col, rpt: int, n_strips: int, perrow: int):
     if n_pairs < 0:
         return None
     return slot, inv, pair_rb[:n_pairs].copy(), pair_strip[:n_pairs].copy()
+
+
+def strip8_plan_core(row, col, n_rb: int, n_strips: int, perrow: int = 1):
+    """Native multi-strip tile assignment (strip8plan.cpp). Entries must be
+    sorted by (row, col). Returns (e_tile int32, e_sub int8, e_krem int8,
+    tile_strips (n_tiles, 8) int32, rb_tiles int32) or None when no
+    toolchain / unsorted input."""
+    lib = _build_and_load()
+    if lib is None:
+        return None
+    nnz = row.size
+    row = np.ascontiguousarray(row, dtype=np.int64)
+    col = np.ascontiguousarray(col, dtype=np.int64)
+    cap = nnz // 8 + n_rb + 2
+    e_tile = np.empty(nnz, dtype=np.int32)
+    e_sub = np.empty(nnz, dtype=np.int8)
+    e_krem = np.empty(nnz, dtype=np.int8)
+    t_strip = np.empty(cap * 8, dtype=np.int32)
+    rb_tiles = np.zeros(n_rb, dtype=np.int32)
+    n_tiles = lib.strip8_plan_core(
+        nnz, row.ctypes.data, col.ctypes.data, n_rb, n_strips, perrow,
+        e_tile.ctypes.data, e_sub.ctypes.data, e_krem.ctypes.data,
+        t_strip.ctypes.data, rb_tiles.ctypes.data, cap)
+    if n_tiles < 0:
+        return None
+    return (e_tile, e_sub, e_krem,
+            t_strip[:n_tiles * 8].reshape(n_tiles, 8).copy(), rb_tiles)
+
+
+def strip8i_plan_core(row, col, n_rb: int, n_strips: int, perrow: int = 1):
+    """Interval variant of strip8_plan_core (strip8plan.cpp): each tile's 8
+    strip slots are a consecutive range starting at t_base[tile]. Returns
+    (e_tile int32, e_sub int8, e_krem int8, t_base (n_tiles,) int32,
+    rb_tiles int32) or None."""
+    lib = _build_and_load()
+    if lib is None:
+        return None
+    nnz = row.size
+    row = np.ascontiguousarray(row, dtype=np.int64)
+    col = np.ascontiguousarray(col, dtype=np.int64)
+    # tiles <= nnz (sum over strips of max-per-row counts) + 1 per interval
+    cap = nnz + 8 * n_rb + 16
+    e_tile = np.empty(nnz, dtype=np.int32)
+    e_sub = np.empty(nnz, dtype=np.int8)
+    e_krem = np.empty(nnz, dtype=np.int8)
+    t_base = np.empty(cap, dtype=np.int32)
+    rb_tiles = np.zeros(n_rb, dtype=np.int32)
+    n_tiles = lib.strip8i_plan_core(
+        nnz, row.ctypes.data, col.ctypes.data, n_rb, n_strips, perrow,
+        e_tile.ctypes.data, e_sub.ctypes.data, e_krem.ctypes.data,
+        t_base.ctypes.data, rb_tiles.ctypes.data, cap)
+    if n_tiles < 0:
+        return None
+    return e_tile, e_sub, e_krem, t_base[:n_tiles].copy(), rb_tiles
 
 
 def strength_keep(indptr, indices, data, theta: float):

@@ -1,0 +1,126 @@
+"""Multi-strip (strip8) Pallas SpMV: plan equivalence + matvec vs scipy."""
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import jax
+import jax.numpy as jnp
+
+from saena_tpu.ops.formats import pad_to
+from saena_tpu.ops.pallas_strip8_spmv import (
+    RPT8,
+    Strip8Matrix,
+    _plan8_numpy,
+    strip8_bytes_estimate,
+    strip8_from_csr,
+    strip8_supported,
+)
+
+
+def _rand(n, m, d, seed):
+    A = sp.random(n, m, density=d, random_state=np.random.default_rng(seed),
+                  format="csr")
+    A.sort_indices()
+    return A
+
+
+@pytest.mark.parametrize("n,m,d", [(500, 700, 0.02), (300, 300, 0.1),
+                                   (1000, 260, 0.03), (129, 1300, 0.05),
+                                   (1, 1, 1.0)])
+def test_strip8_matches_scipy(n, m, d):
+    A = _rand(n, m, d, seed=n + m)
+    M = strip8_from_csr(A, dtype=jnp.float64)
+    x = np.random.default_rng(0).standard_normal(pad_to(m))
+    y = np.asarray(M.matvec(jnp.asarray(x)))
+    yref = A @ x[:m]
+    assert np.abs(y[:n] - yref).max() <= 1e-12 * max(1, np.abs(yref).max())
+    # zero padding preserved (solve-path invariant)
+    if y.size > n:
+        assert np.abs(y[n:]).max() == 0.0
+
+
+def test_strip8_native_plan_matches_numpy():
+    from saena_tpu import _native
+
+    if not _native.have_native():
+        pytest.skip("no toolchain")
+    for seed, (n, m, d) in enumerate([(500, 700, 0.02), (2000, 2000, 0.01),
+                                      (97, 130, 0.3)]):
+        A = _rand(n, m, d, seed)
+        coo = A.tocoo()
+        for perrow in (1, 2, 4):
+            Q = 128 // perrow
+            n_rb = pad_to(n, Q) // Q
+            n_strips = pad_to(m) // 128
+            nat = _native.strip8_plan_core(coo.row, coo.col, n_rb,
+                                           n_strips, perrow)
+            ref = _plan8_numpy(coo.row.astype(np.int64),
+                               coo.col.astype(np.int64), n_rb, n_strips,
+                               perrow)
+            for a, b, name in zip(nat, ref, ["e_tile", "e_sub", "e_krem",
+                                             "tile_strips", "rb_tiles"]):
+                assert np.array_equal(a, b), (seed, perrow, name)
+
+
+def test_strip8_transpose_fill_beats_strip():
+    """The motivating case: an aggregation transpose Pt^T (one entry per
+    COLUMN) caps the single-strip layout at 12.5% tile fill; strip8 must
+    pack it several times denser (= proportionally fewer streamed bytes)."""
+    from saena_tpu.ops.pallas_strip_spmv import strip_bytes_estimate
+
+    rng = np.random.default_rng(5)
+    n_fine = 16384
+    agg = np.sort(rng.integers(0, n_fine // 8, n_fine))
+    Pt = sp.csr_matrix((np.ones(n_fine), (np.arange(n_fine), agg)),
+                       shape=(n_fine, n_fine // 8))
+    PtT = Pt.T.tocsr()
+    PtT.sort_indices()
+    e8 = strip8_bytes_estimate(PtT)
+    e1 = strip_bytes_estimate(PtT)
+    assert e8 * 2 <= e1, (e8, e1)
+    # and it is still exact
+    M = strip8_from_csr(PtT, dtype=jnp.float64)
+    x = rng.standard_normal(pad_to(n_fine))
+    y = np.asarray(M.matvec(jnp.asarray(x)))
+    yref = PtT @ x[:n_fine]
+    assert np.abs(y[:PtT.shape[0]] - yref).max() <= 1e-12 * np.abs(yref).max()
+
+
+def test_strip8_smooth_dtype_twin():
+    A = _rand(400, 400, 0.05, seed=2)
+    M, Ms = strip8_from_csr(A, dtype=jnp.float64,
+                            smooth_dtype=jnp.bfloat16)
+    assert Ms.dtype == jnp.bfloat16
+    assert Ms.idx is M.idx  # index arrays shared
+    x = np.random.default_rng(1).standard_normal(pad_to(400))
+    y = np.asarray(Ms.matvec(jnp.asarray(x)), dtype=np.float64)
+    yref = A @ x[:400]
+    scale = max(1.0, np.abs(yref).max())
+    assert np.abs(y[:400] - yref).max() <= 0.05 * scale  # bf16 tolerance
+
+
+def test_strip8_interval_mode_exact():
+    """Force the interval layout (consecutive 8-strip tiles, one dynamic
+    slice load) and check exactness against scipy."""
+    from saena_tpu import _native
+    from saena_tpu.ops.pallas_strip8_spmv import _plan8_one
+
+    if not _native.have_native():
+        pytest.skip("no toolchain")
+    rng = np.random.default_rng(11)
+    n, m = 700, 900
+    A = sp.random(n, m, density=0.03, random_state=rng, format="csr")
+    A.sort_indices()
+    coo = A.tocoo()
+    for perrow in (1, 2, 4):
+        p = _plan8_one(coo, n, m, perrow, "interval")
+        assert p is not None
+        A2 = A.copy()
+        A2.sort_indices()
+        A2._saena_strip8_plan = ((A2.shape, A2.nnz), (coo, p))
+        M = strip8_from_csr(A2, dtype=jnp.float64)
+        assert M.mode == "interval" and M.perrow == perrow
+        x = rng.standard_normal(pad_to(m))
+        y = np.asarray(M.matvec(jnp.asarray(x)))
+        yref = A @ x[:m]
+        assert np.abs(y[:n] - yref).max() <= 1e-12 * max(1, np.abs(yref).max())
