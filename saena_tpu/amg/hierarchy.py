@@ -206,21 +206,15 @@ def default_dtype():
 
 
 def _transfer_from_csr(M: sp.csr_matrix, dtype):
-    """Device format for P/R transfer operators: Pallas strip kernel, then
-    BSR on TPU backends (the per-element gather of ELL is the bottleneck
-    there), ELL elsewhere."""
-    from saena_tpu.ops.formats import bsr_bytes_estimate, bsr_from_csr
-    from saena_tpu.ops.pallas_strip_spmv import (
-        strip_bytes_estimate, strip_from_csr, strip_supported)
+    """Device format for P/R transfer operators: fastest gather format by
+    estimated matvec time (strip / strip8 / BSR — the per-element gather
+    of ELL is the bottleneck on TPU), ELL elsewhere."""
+    from saena_tpu.ops.formats import pick_gather_format
 
     if jax.default_backend() != "cpu" and M.nnz > 0:
-        if strip_supported(M, dtype) and M.nnz >= 4096:
-            s_est = strip_bytes_estimate(M, dtype)
-            if s_est <= 768 * 1024 * 1024 and s_est <= 1024 * M.nnz:
-                return strip_from_csr(M, dtype=dtype)
-        est = bsr_bytes_estimate(M, dtype)
-        if est <= 768 * 1024 * 1024 and est <= 1024 * M.nnz:
-            return bsr_from_csr(M, dtype=dtype)
+        builder = pick_gather_format(M, dtype)
+        if builder is not None:
+            return builder(M, dtype=dtype)
     return ell_from_csr(M, dtype=dtype, width_quantile=0.98)
 
 
@@ -450,18 +444,15 @@ def devicify(
             dt_next = low_dtype if (l + 1) >= opts.float_level else dtype
             struct = structs[l] if structs else None
             if struct is not None and jax.default_backend() != "cpu":
-                from saena_tpu.ops.pallas_strip_spmv import (
-                    strip_bytes_estimate, strip_supported)
+                from saena_tpu.ops.formats import gather_time_estimate
                 from saena_tpu.ops.transfers import (
                     build_structural, structural_estimate)
                 agg, wq = struct
                 n_c = csr_levels[l + 1].shape[0]
                 est_s = structural_estimate(agg, n_c, Adev, dt)
-                est_d = (strip_bytes_estimate(Ps[l], dt_next)
-                         + strip_bytes_estimate(Rs[l], dt_next)
-                         if strip_supported(Ps[l], dt_next)
-                         and strip_supported(Rs[l], dt_next) else 1 << 62)
-                if est_s < min(est_d, 1 << 62):
+                est_d = (gather_time_estimate(Ps[l], dt_next)
+                         + gather_time_estimate(Rs[l], dt_next))
+                if est_s < est_d and np.isfinite(est_s):
                     P_dev, R_dev = build_structural(
                         agg, n_c, wq, Adev, int(Ps[l].nnz), dt, dt_next)
             if P_dev is None:

@@ -383,6 +383,16 @@ def bsr_bytes_estimate(A: sp.spmatrix, dtype=jnp.float32) -> int:
     return n_br * W * 8 * 128 * jnp.dtype(dtype).itemsize
 
 
+BSR_STREAM_BPS = 819e9       # v5e HBM stream rate the BSR kernel achieves
+BSR_TIME_FACTOR = 1.3        # gather/launch overhead over the pure stream
+                             # (A1: 67.8 MB -> 110 us measured vs 83 pure)
+
+
+def bsr_time_estimate(A: sp.spmatrix, dtype=jnp.float32) -> float:
+    """Estimated matvec seconds: the BSR matvec is HBM-stream bound."""
+    return bsr_bytes_estimate(A, dtype) / BSR_STREAM_BPS * BSR_TIME_FACTOR
+
+
 def rcm_permutation(A: sp.spmatrix) -> np.ndarray:
     """Reverse Cuthill-McKee ordering for bandwidth reduction; applied to
     coarse operators at setup so block formats stay narrow (the reference
@@ -500,19 +510,61 @@ def device_matrix_from_csr(
 
         prefer_bsr = jax.default_backend() not in ("cpu",)
     if prefer_bsr and A.nnz > 0:
-        # Pallas strip-gather kernel first: ~4x less traffic than BSR and
-        # 2x faster measured (pallas_strip_spmv.py); falls back to BSR when
-        # x doesn't fit VMEM, then to ELL
-        from saena_tpu.ops.pallas_strip_spmv import (
-            strip_bytes_estimate, strip_from_csr, strip_supported)
-
-        if strip_supported(A, dtype) and A.nnz >= 4096:
-            s_est = strip_bytes_estimate(A, dtype)
-            if s_est <= bsr_max_bytes and s_est <= bsr_max_bytes_per_nnz * A.nnz:
-                return strip_from_csr(A, dtype=dtype,
-                                      smooth_dtype=smooth_dtype)
-        est = bsr_bytes_estimate(A, dtype)
-        if est <= bsr_max_bytes and est <= bsr_max_bytes_per_nnz * A.nnz:
-            return bsr_from_csr(A, dtype=dtype, smooth_dtype=smooth_dtype)
+        builder = pick_gather_format(A, dtype, max_bytes=bsr_max_bytes,
+                                     max_bytes_per_nnz=bsr_max_bytes_per_nnz)
+        if builder is not None:
+            return builder(A, dtype=dtype, smooth_dtype=smooth_dtype)
     return ell_from_csr(A, dtype=dtype, width_quantile=0.98,
                         smooth_dtype=smooth_dtype)
+
+
+def gather_time_estimate(A: sp.spmatrix, dtype=jnp.float32,
+                         max_bytes: int = 768 * 1024 * 1024,
+                         max_bytes_per_nnz: int = 1024) -> float:
+    """min estimated matvec seconds over the applicable gather formats
+    (strip, strip8, BSR) for an irregular operator; inf if none fits."""
+    t, _ = _pick_gather(A, dtype, max_bytes, max_bytes_per_nnz)
+    return t
+
+
+def pick_gather_format(A: sp.spmatrix, dtype=jnp.float32,
+                       max_bytes: int = 768 * 1024 * 1024,
+                       max_bytes_per_nnz: int = 1024):
+    """Builder (fn(A, dtype=, smooth_dtype=)) for the fastest applicable
+    gather format by ESTIMATED MATVEC TIME, or None. Bytes caps bound the
+    device footprint; the choice itself is time-based — the strip kernels
+    are VPU-op bound, BSR is stream bound, so bytes alone mis-rank them
+    (measured: SA level-1 A is 26 us strip8 / 48 us strip / 110 us BSR
+    while BSR streams the most bytes; a near-diagonal transfer operator
+    reverses strip vs strip8)."""
+    _, builder = _pick_gather(A, dtype, max_bytes, max_bytes_per_nnz)
+    return builder
+
+
+def _pick_gather(A, dtype, max_bytes, max_bytes_per_nnz):
+    from saena_tpu.ops.pallas_strip8_spmv import (
+        strip8_bytes_estimate, strip8_from_csr, strip8_supported,
+        strip8_time_estimate)
+    from saena_tpu.ops.pallas_strip_spmv import (
+        strip_bytes_estimate, strip_from_csr, strip_supported,
+        strip_time_estimate)
+
+    A = A.tocsr()
+    cap = min(max_bytes, max_bytes_per_nnz * max(1, A.nnz))
+    best = (float("inf"), None)
+    if A.nnz >= 4096:
+        if strip_supported(A, dtype) and \
+                strip_bytes_estimate(A, dtype) <= cap:
+            ts = strip_time_estimate(A, dtype)
+            if ts < best[0]:
+                best = (ts, strip_from_csr)
+        if strip8_supported(A, dtype) and \
+                strip8_bytes_estimate(A, dtype) <= cap:
+            t8 = strip8_time_estimate(A, dtype)
+            if t8 < best[0]:
+                best = (t8, strip8_from_csr)
+    if bsr_bytes_estimate(A, dtype) <= cap:
+        tb = bsr_time_estimate(A, dtype)
+        if tb < best[0]:
+            best = (tb, bsr_from_csr)
+    return best

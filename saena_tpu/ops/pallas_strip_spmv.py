@@ -406,6 +406,18 @@ def strip_bytes_estimate(A: sp.spmatrix, dtype=jnp.float32) -> int:
     return int(padded * 8 * 128 * (1 + jnp.dtype(dtype).itemsize))
 
 
+STRIP_NS_PER_PAIR = 22.0  # v5e: A1 2176 pairs -> 47 us, R0 4800 -> 116 us
+
+
+def strip_time_estimate(A: sp.spmatrix, dtype=jnp.float32) -> float:
+    """Estimated matvec seconds. The strip kernel is VPU-op bound, not
+    byte bound: cost scales with GROUP-padded pair count at ~22 ns/pair
+    measured on v5e (fill cancels out). Used by time-based format
+    selection against strip8/BSR estimates."""
+    _, padded = _pick_cached(A.tocsr())
+    return padded * STRIP_NS_PER_PAIR * 1e-9
+
+
 def strip_supported(A: sp.spmatrix, dtype=jnp.float32,
                     vmem_budget: int = 4 * 1024 * 1024) -> bool:
     """x strips + y must fit in VMEM alongside the streamed tiles."""

@@ -27,9 +27,11 @@ import jax.numpy as jnp
 import numpy as np
 import scipy.sparse as sp
 
-from saena_tpu.ops.formats import _register, _static, pad_to
+from saena_tpu.ops.formats import BSR_STREAM_BPS, _register, _static, pad_to
+from saena_tpu.ops.pallas_strip8_spmv import (
+    strip8_from_csr, strip8_supported, strip8_time_estimate)
 from saena_tpu.ops.pallas_strip_spmv import (
-    StripMatrix, strip_bytes_estimate, strip_from_csr, strip_supported)
+    StripMatrix, strip_from_csr, strip_supported, strip_time_estimate)
 
 
 @_register
@@ -101,6 +103,28 @@ def device_bytes(M) -> int:
                    if hasattr(x, "nbytes")))
 
 
+def _strip_time(M_csr: sp.csr_matrix, dtype) -> float:
+    """min estimated matvec seconds over the strip kernels; inf if neither
+    is applicable (tentative P/Pt are one-entry-per-row — strip8's
+    multi-strip tiles beat the single-strip layout ~3x on Pt^T, while Pt
+    itself is usually near-diagonal and a coin toss; pick by estimate)."""
+    t = float("inf")
+    if strip_supported(M_csr, dtype):
+        t = strip_time_estimate(M_csr, dtype)
+    if strip8_supported(M_csr, dtype):
+        t = min(t, strip8_time_estimate(M_csr, dtype))
+    return t
+
+
+def _strip_build(M_csr: sp.csr_matrix, dtype):
+    s_ok = strip_supported(M_csr, dtype)
+    if strip8_supported(M_csr, dtype) and (
+            not s_ok or strip8_time_estimate(M_csr, dtype)
+            < strip_time_estimate(M_csr, dtype)):
+        return strip8_from_csr(M_csr, dtype=dtype)
+    return strip_from_csr(M_csr, dtype=dtype)
+
+
 def build_structural(agg: np.ndarray, n_coarse: int, wq_host: np.ndarray,
                      Adev, P_nnz: int, dtype_l, dtype_next):
     """Build (SmoothedP, SmoothedR) from the aggregation map and smoothing
@@ -108,8 +132,8 @@ def build_structural(agg: np.ndarray, n_coarse: int, wq_host: np.ndarray,
     n = agg.size
     Pt_csr = sp.csr_matrix(
         (np.ones(n), (np.arange(n), agg)), shape=(n, n_coarse))
-    Pt = strip_from_csr(Pt_csr, dtype=dtype_l)
-    PtT = strip_from_csr(Pt_csr.T.tocsr(), dtype=dtype_next)
+    Pt = _strip_build(Pt_csr, dtype_l)
+    PtT = _strip_build(Pt_csr.T.tocsr(), dtype_next)
     n_pad = pad_to(n)
     wq = jnp.asarray(np.pad(wq_host, (0, n_pad - n)), dtype=dtype_l)
     P = SmoothedP(Pt=Pt, A=Adev, wq=wq, shape=(n, n_coarse), nnz=P_nnz)
@@ -118,14 +142,15 @@ def build_structural(agg: np.ndarray, n_coarse: int, wq_host: np.ndarray,
 
 
 def structural_estimate(agg: np.ndarray, n_coarse: int, Adev,
-                        dtype_l) -> int:
-    """Streamed bytes per (R then P) transfer pair for the structural path."""
+                        dtype_l) -> float:
+    """Estimated seconds per (R then P) transfer pair for the structural
+    path: two Pt-strip matvecs plus two A matvecs (stream-rate model for
+    A; the strip kernels have their own op-bound models)."""
     n = agg.size
     Pt_csr = sp.csr_matrix(
         (np.ones(n), (np.arange(n), agg)), shape=(n, n_coarse))
-    if not (strip_supported(Pt_csr, dtype_l)
-            and strip_supported(Pt_csr.T, dtype_l)):
-        return 1 << 62
-    return (strip_bytes_estimate(Pt_csr, dtype_l)
-            + strip_bytes_estimate(Pt_csr.T.tocsr(), dtype_l)
-            + 2 * device_bytes(Adev))
+    t_Pt = _strip_time(Pt_csr, dtype_l)
+    t_PtT = _strip_time(Pt_csr.T.tocsr(), dtype_l)
+    if not np.isfinite(t_Pt) or not np.isfinite(t_PtT):
+        return float("inf")
+    return t_Pt + t_PtT + 2 * device_bytes(Adev) / BSR_STREAM_BPS
