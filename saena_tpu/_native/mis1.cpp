@@ -45,4 +45,56 @@ void mis1_aggregate(int64_t n, const int64_t *indptr, const int32_t *indices,
     }
 }
 
+// Per-shard sweep round for the DISTRIBUTED MIS fixpoint
+// (parallel/dist_setup.py). Resolves the shard's rows in ascending index
+// order using FRESH state for local neighbors and the round-start SNAPSHOT
+// for remote neighbors — exactly the reference's structure of a full local
+// pass between boolean halo exchanges (aggregation_1_dist,
+// saena_object_setup1.cpp:724-995). The fixpoint is schedule-independent
+// (a node's root/join outcome depends only on which smaller neighbors are
+// MIS members), so any snapshot staleness costs extra rounds, never a
+// different aggregation; convergence needs one round per cross-shard hop
+// of the longest dependency chain instead of one per fixpoint wavefront.
+//
+// indptr/indices: the shard's LOCAL rows with GLOBAL column ids;
+// decided/is_root/agg are global arrays — writes stay in [row0, row0+n_loc)
+// so concurrent shard sweeps never collide. Returns #still-undecided.
+int64_t mis1_sweep(int64_t n_loc, int64_t row0, const int64_t *indptr,
+                   const int32_t *indices, const uint8_t *dec_snap,
+                   const uint8_t *root_snap, uint8_t *decided,
+                   uint8_t *is_root, int64_t *agg) {
+    const int64_t r1 = row0 + n_loc;
+    int64_t und = 0;
+    for (int64_t i = 0; i < n_loc; ++i) {
+        const int64_t gi = row0 + i;
+        if (decided[gi]) continue;
+        int64_t jm = -1;  // min eligible (undecided-or-root) smaller neighbor
+        for (int64_t p = indptr[i]; p < indptr[i + 1]; ++p) {
+            const int64_t j = indices[p];
+            if (j >= gi) continue;
+            const bool local = j >= row0 && j < r1;
+            const uint8_t dec = local ? decided[j] : dec_snap[j];
+            const uint8_t rt = local ? is_root[j] : root_snap[j];
+            if (!dec || rt) {
+                if (jm < 0 || j < jm) jm = j;
+            }
+        }
+        if (jm < 0) {  // no eligible smaller neighbor -> root
+            is_root[gi] = 1;
+            decided[gi] = 1;
+            agg[gi] = gi;
+        } else {
+            const bool local = jm >= row0 && jm < r1;
+            const uint8_t dec = local ? decided[jm] : dec_snap[jm];
+            if (dec) {  // eligible + decided => a root: join it
+                agg[gi] = jm;
+                decided[gi] = 1;
+            } else {
+                ++und;  // waits on an undecided smaller neighbor
+            }
+        }
+    }
+    return und;
+}
+
 }  // extern "C"

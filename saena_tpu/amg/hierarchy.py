@@ -186,6 +186,7 @@ class SetupInfo:
     csr_levels: list = dataclasses.field(default_factory=list, repr=False)
     Ps: list = dataclasses.field(default_factory=list, repr=False)
     Rs: list = dataclasses.field(default_factory=list, repr=False)
+    comm: object = None   # CommMeter when built by parallel/dist_setup.py
 
     def table(self) -> str:
         lines = ["lvl       rows          nnz    density  format    dtype     coarsen"]
@@ -250,6 +251,16 @@ def coarsen_csr(A: sp.csr_matrix, lvl: int, opts: Options):
         Ac = spgemm_blocks(spgemm_blocks(R, A, dtype=dt), P, dtype=dt)
     else:
         Ac = galerkin_product(R, A, P)
+    P, R, Ac, agg, struct = coarsen_tail(A, P, R, Ac, agg, lvl, opts)
+    return P, R, Ac, last, theta, struct
+
+
+def coarsen_tail(A: sp.csr_matrix, P, R, Ac, agg, lvl: int, opts: Options):
+    """Post-Galerkin finishing shared by the serial and distributed setups:
+    filter/lumping, optional sparsification, RCM reordering, and the
+    structural-transfer eligibility check. All row-local or coordinator-side
+    work (the reference runs filter + shrink decisions after triple_mat_mult
+    the same way, saena_object_setup2.cpp:161-341)."""
     thre = filter_threshold(lvl + 1, opts.filter_thre, opts.filter_max,
                             opts.filter_start, opts.filter_rate)
     Ac = filter_lump(Ac, thre)
@@ -281,7 +292,7 @@ def coarsen_csr(A: sp.csr_matrix, lvl: int, opts: Options):
         from saena_tpu.amg.prolongation import smoothing_diag
         if is_symmetric(A):
             struct = (agg, smoothing_diag(A, opts.Pomega, opts.PSmoother))
-    return P, R, Ac, last, theta, struct
+    return P, R, Ac, agg, struct
 
 
 def setup(
@@ -290,12 +301,17 @@ def setup(
     dtype=None,
     use_dense: bool = False,
     p_levels: Optional[list] = None,
+    coarsen_fn=None,
 ) -> tuple[Hierarchy, SetupInfo]:
     """Build the AMG hierarchy from a host CSR matrix.
 
     ``p_levels``: optional list of host prolongation CSRs to apply FIRST
     (p-coarsening path for high-order FEM, ref saena_object_pcoarsen_modal
     .cpp) before switching to h-coarsening; built by saena_tpu.amg.pcoarsen.
+
+    ``coarsen_fn``: optional replacement for :func:`coarsen_csr` with the
+    same (A, lvl, opts) -> (P, R, Ac, last, theta, struct)|None contract —
+    the shard-parallel setup (parallel/dist_setup.py) plugs in here.
     """
     opts = opts or Options()
     dtype = dtype or default_dtype()
@@ -349,7 +365,7 @@ def setup(
         lvl = len(csr_levels) - 1
         if opts.dynamic_levels and Acur.shape[0] <= opts.least_row_threshold:
             break
-        out = coarsen_csr(Acur, lvl, opts)
+        out = (coarsen_fn or coarsen_csr)(Acur, lvl, opts)
         if out is None:
             break
         P, R, Ac, last, theta, struct = out

@@ -1,0 +1,126 @@
+"""Distributed (shard-parallel) setup: bitwise parity with the serial setup.
+
+The reference validates its distributed setup by running the same problem
+at several MPI rank counts and checking identical convergence
+(test/test_parallel.py sweeps -np). Here the gate is stronger: dist_setup
+must reproduce the serial hierarchy BIT FOR BIT at every level, for any
+shard count, on both aggregation paths — so every golden and every solve
+behavior carries over by construction."""
+import os
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from saena_tpu.config import Options
+from saena_tpu.amg import hierarchy as H
+from saena_tpu.parallel.dist_setup import CommMeter, dist_setup
+from saena_tpu.generators import laplacian3D, laplacian3D_set_rhs, band_matrix
+from saena_tpu.core.coo import remove_boundary_nodes
+
+REF = "/root/reference/data/FloridaCollection"
+
+
+def _poisson(m=16):
+    A0 = laplacian3D(m, m, m)
+    rhs0 = laplacian3D_set_rhs(m, m, m)
+    A, _, _, _, rhs = remove_boundary_nodes(A0, rhs0)
+    return A.tocsr(), rhs
+
+
+def _assert_same_hierarchy(i1, i2):
+    assert i1.sizes == i2.sizes
+    for l, (X, Y) in enumerate(zip(i1.csr_levels, i2.csr_levels)):
+        for attr in ("indptr", "indices", "data"):
+            assert np.array_equal(getattr(X, attr), getattr(Y, attr)), (
+                f"level {l} {attr} differs")
+    for name, As, Bs in (("P", i1.Ps, i2.Ps), ("R", i1.Rs, i2.Rs)):
+        for l, (X, Y) in enumerate(zip(As, Bs)):
+            assert np.array_equal(X.data, Y.data), f"{name}{l} data"
+            assert np.array_equal(X.indices, Y.indices), f"{name}{l} indices"
+
+
+@pytest.mark.parametrize("optkw", [
+    {},                                  # reference-parity dist-1 aggregation
+    {"aggregation": "double"},           # the lean config
+    {"adaptive_coarsening": True},
+])
+@pytest.mark.parametrize("n_shards", [2, 5])
+def test_bitwise_parity_poisson(optkw, n_shards):
+    A, _ = _poisson(16)
+    opts = Options(**optkw)
+    _, i1 = H.setup(A, opts)
+    _, i2 = dist_setup(A, opts, n_shards=n_shards, tail_rows=32)
+    _assert_same_hierarchy(i1, i2)
+    assert i2.comm.dist_levels >= 1
+
+
+def test_bitwise_parity_banded():
+    A = band_matrix(1500, 24).tocsr()
+    opts = Options()
+    _, i1 = H.setup(A, opts)
+    _, i2 = dist_setup(A, opts, n_shards=4, tail_rows=64)
+    _assert_same_hierarchy(i1, i2)
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference data absent")
+def test_bitwise_parity_bcsstk16():
+    """Irregular Florida sparsity + the scaled path through dist shards."""
+    from saena_tpu.io.readers import read_matrix
+
+    A = read_matrix(f"{REF}/bcsstk16.mtx").tocsr()
+    opts = Options(scale=True)
+    _, i1 = H.setup(A, opts)
+    _, i2 = dist_setup(A, opts, n_shards=4, tail_rows=128)
+    _assert_same_hierarchy(i1, i2)
+
+
+def test_numpy_round_fallback(monkeypatch):
+    """The no-toolchain MIS path (synchronous numpy rounds) must produce the
+    same aggregation as the native sweep — the fixpoint is unique."""
+    from saena_tpu import _native
+
+    A, _ = _poisson(12)
+    opts = Options()
+    _, i1 = H.setup(A, opts)
+    monkeypatch.setattr(_native, "have_native", lambda: False)
+    _, i2 = dist_setup(A, opts, n_shards=3, tail_rows=32)
+    _assert_same_hierarchy(i1, i2)
+
+
+def test_comm_meter_halo_sized():
+    """Strength/prolong/MIS exchanges must be boundary-sized, not O(nnz):
+    the wire discipline the reference's vElement_remote gives."""
+    A, _ = _poisson(16)
+    n, nnz = A.shape[0], A.nnz
+    # 4 * 500 sits between level-1 (1372) and level-0 (2744) sizes, so only
+    # the fine level runs distributed — the halo bound is then crisp
+    _, info = dist_setup(A, Options(), n_shards=4, tail_rows=500)
+    m = info.comm
+    assert m.dist_levels == 1
+    # fine-level halo: 4 shards x two 16x16 boundary planes of agg/safe ids
+    assert m.bytes_by_phase["strength"] < 8 * n          # << 8 B x n
+    assert m.bytes_by_phase["prolong"] < 8 * n
+    # MIS flag traffic: rounds x halo flags, far below one bool per nnz
+    assert m.mis_rounds <= 60
+    assert m.bytes_by_phase["mis"] < 2 * nnz
+    assert m.total_bytes > 0
+
+
+def test_solve_through_dist_hierarchy():
+    """End-to-end: the dist-built hierarchy drives the jitted pCG exactly
+    like the serial one (same iterations, same residual)."""
+    import jax.numpy as jnp
+    from saena_tpu.amg import solvers as S
+
+    A, rhs = _poisson(16)
+    opts = Options()
+    h1, _ = H.setup(A, opts)
+    h2, _ = dist_setup(A, opts, n_shards=4, tail_rows=64)
+    params = H.SolveParams.from_options(opts)
+    pad = h1.n_pad - A.shape[0]
+    r = jnp.asarray(np.pad(rhs, (0, pad)), dtype=h1.dtype)
+    res1 = S.solve_pCG(h1, r, params=params, tol=1e-8, max_iter=60)
+    res2 = S.solve_pCG(h2, r, params=params, tol=1e-8, max_iter=60)
+    assert int(res1.iters) == int(res2.iters)
+    assert float(res2.rel_res) < 1e-8
