@@ -69,23 +69,32 @@ class CommMeter:
     (decided + root booleans, aggregation_1_dist's bool exchange)."""
 
     bytes_by_phase: dict = dataclasses.field(default_factory=dict)
+    raw_by_phase: dict = dataclasses.field(default_factory=dict)
     mis_rounds: int = 0
     dist_levels: int = 0
 
     def __post_init__(self):
         self._lock = threading.Lock()
 
-    def add(self, phase: str, nbytes: int):
+    def add(self, phase: str, nbytes: int, raw: Optional[int] = None):
+        """``nbytes`` = what actually crosses the wire; ``raw`` = the
+        uncompressed payload size (defaults to nbytes) so ``table`` can show
+        the codec's ratio like the reference's verbose_matmat prints."""
         with self._lock:
             self.bytes_by_phase[phase] = self.bytes_by_phase.get(phase, 0) + int(nbytes)
+            self.raw_by_phase[phase] = self.raw_by_phase.get(phase, 0) + int(
+                nbytes if raw is None else raw)
 
     @property
     def total_bytes(self) -> int:
         return sum(self.bytes_by_phase.values())
 
     def table(self) -> str:
-        lines = [f"{k:<12} {v / 1e6:10.3f} MB"
-                 for k, v in sorted(self.bytes_by_phase.items())]
+        lines = []
+        for k, v in sorted(self.bytes_by_phase.items()):
+            raw = self.raw_by_phase.get(k, v)
+            tail = f"  ({v / raw:5.2f}x of raw)" if raw > v else ""
+            lines.append(f"{k:<12} {v / 1e6:10.3f} MB{tail}")
         lines.append(f"{'total':<12} {self.total_bytes / 1e6:10.3f} MB "
                      f"(MIS rounds: {self.mis_rounds}, "
                      f"dist levels: {self.dist_levels})")
@@ -97,11 +106,49 @@ class CommMeter:
 # ---------------------------------------------------------------------------
 
 
+def _gr_pack(part: sp.csr_matrix):
+    """Encode a CSR window the way the reference's compressed SpGEMM ring
+    ships a CSCMat window (CSCMat::compress_prep + GR_encoder, data_struct.h
+    :512, setup_matmat.cpp:1986-2103): GR-coded per-row nnz counts, GR-coded
+    per-row delta column ids (per-stream k, like compress_prep's per-rank k),
+    values raw — GR_encoder compresses the index streams only."""
+    from saena_tpu import _native
+
+    cnts = np.diff(part.indptr).astype(np.uint32)
+    cnt_payload, k_cnt = _native.gr_compress(cnts)
+    seg = part.indptr[:-1].astype(np.int64)
+    col_payload, k_col = _native.gr_compress(
+        _native.delta_encode(part.indices.astype(np.uint32), seg))
+    vals = part.data.tobytes()
+    wire = len(cnt_payload) + len(col_payload) + len(vals) + 2  # + two k bytes
+    return (part.shape, int(part.nnz), cnt_payload, k_cnt, col_payload, k_col,
+            vals, part.data.dtype, bool(part.has_sorted_indices), wire)
+
+
+def _gr_unpack(packed) -> sp.csr_matrix:
+    from saena_tpu import _native
+
+    shape, nnz, cnt_payload, k_cnt, col_payload, k_col, vals, vdt, srt, _ = packed
+    cnts = _native.gr_decompress(cnt_payload, shape[0], k_cnt)
+    indptr = np.concatenate([[0], np.cumsum(cnts, dtype=np.int64)])
+    cols = _native.delta_decode(
+        _native.gr_decompress(col_payload, nnz, k_col), indptr[:-1])
+    out = sp.csr_matrix(
+        (np.frombuffer(vals, dtype=vdt), cols.astype(np.int64), indptr),
+        shape=shape)
+    out.has_sorted_indices = srt
+    return out
+
+
 def _fetch_rows(slices, split, ids, requester: int, meter: CommMeter,
-                phase: str) -> sp.csr_matrix:
+                phase: str, codec: str = "none") -> sp.csr_matrix:
     """Gather rows ``ids`` (sorted global) from their owner shards, stacked
     in id order with GLOBAL columns. Remote rows are metered at 12 B/nnz +
-    8 B/row — what the reference's Isend of a CSR window costs."""
+    8 B/row — what the reference's Isend of a CSR window costs — unless
+    ``codec="gr"``, in which case each remote window genuinely round-trips
+    through the Golomb-Rice index-stream codec (encoded at the owner,
+    decoded at the requester; values pass through bit-exact) and the meter
+    records the compressed wire size."""
     bounds = np.searchsorted(ids, split)
     parts = []
     for p in range(len(slices)):
@@ -109,9 +156,15 @@ def _fetch_rows(slices, split, ids, requester: int, meter: CommMeter,
         if lo == hi:
             continue
         part = slices[p][ids[lo:hi] - split[p]]
-        parts.append(part)
         if p != requester:
-            meter.add(phase, part.nnz * 12 + (hi - lo) * 8)
+            raw = part.nnz * 12 + (hi - lo) * 8
+            if codec == "gr":
+                packed = _gr_pack(part)
+                part = _gr_unpack(packed)
+                meter.add(phase, packed[-1], raw=raw)
+            else:
+                meter.add(phase, raw)
+        parts.append(part)
     if not parts:
         n_cols = slices[0].shape[1]
         return sp.csr_matrix((0, n_cols))
@@ -493,10 +546,13 @@ def _relabel(X: sp.csr_matrix, need: np.ndarray) -> sp.csr_matrix:
          X.indptr), shape=(X.shape[0], int(need.size)))
 
 
-def _dist_galerkin(R_slices, A_slices, P_slices, split, pool, meter):
+def _dist_galerkin(R_slices, A_slices, P_slices, split, pool, meter,
+                   codec: str = "none"):
     """Ac = R @ (A @ P) — the same product order as galerkin_product — with
     each factor row-sharded and remote operand rows fetched on demand (the
-    reference's ring rotation delivers the same rows, matmat_CSC)."""
+    reference's ring rotation delivers the same rows, matmat_CSC). With
+    ``codec="gr"`` every remote window crosses the wire Golomb-Rice
+    compressed, the reference's compressed-matmat mode."""
     n_c = P_slices[0].shape[1]
 
     def w_task(p):
@@ -504,7 +560,7 @@ def _dist_galerkin(R_slices, A_slices, P_slices, split, pool, meter):
         if Ash.nnz == 0:
             return sp.csr_matrix((Ash.shape[0], n_c))
         need = np.unique(Ash.indices)
-        Pn = _fetch_rows(P_slices, split, need, p, meter, "spgemm")
+        Pn = _fetch_rows(P_slices, split, need, p, meter, "spgemm", codec)
         return _spgemm(_relabel(Ash, need), Pn)
 
     W_slices = list(pool.map(w_task, range(len(A_slices))))
@@ -514,7 +570,7 @@ def _dist_galerkin(R_slices, A_slices, P_slices, split, pool, meter):
         if Rsh.nnz == 0:
             return sp.csr_matrix((Rsh.shape[0], n_c))
         need = np.unique(Rsh.indices)
-        Wn = _fetch_rows(W_slices, split, need, q, meter, "spgemm")
+        Wn = _fetch_rows(W_slices, split, need, q, meter, "spgemm", codec)
         Ac = _spgemm(_relabel(Rsh, need), Wn)
         Ac.sum_duplicates()
         Ac.sort_indices()
@@ -529,7 +585,7 @@ def _dist_galerkin(R_slices, A_slices, P_slices, split, pool, meter):
 
 
 def coarsen_dist(A: sp.csr_matrix, lvl: int, opts: Options, n_shards: int,
-                 pool, meter: CommMeter):
+                 pool, meter: CommMeter, codec: str = "none"):
     """Shard-parallel coarsen_csr: same contract, bitwise-identical output.
     The row split is nnz-balanced per level (repartition_nnz,
     saena_matrix_repart.cpp) — shard boundaries never affect results."""
@@ -560,7 +616,7 @@ def coarsen_dist(A: sp.csr_matrix, lvl: int, opts: Options, n_shards: int,
     split_c = np.searchsorted(home, split)
     R_slices = _dist_transpose(P_slices, split, split_c, meter)
     Ac_slices = _dist_galerkin(R_slices, A_slices, P_slices, split,
-                               pool, meter)
+                               pool, meter, codec)
     P_h = _vstack(P_slices)
     R_h = _vstack(R_slices)
     Ac = _vstack(Ac_slices)
@@ -578,11 +634,18 @@ def dist_setup(
     tail_rows: int = 512,
     use_dense: bool = False,
     p_levels: Optional[list] = None,
+    wire_codec: str = "gr",
 ) -> tuple[Hierarchy, SetupInfo]:
     """Shard-parallel hierarchy setup: drop-in for hierarchy.setup with a
     BITWISE-IDENTICAL result. ``info.comm`` carries the CommMeter. Levels
     smaller than n_shards * tail_rows run the serial coarsen (the shrink
-    analog — the reference gathers small coarse levels the same way)."""
+    analog — the reference gathers small coarse levels the same way).
+
+    ``wire_codec``: "gr" (default) Golomb-Rice-compresses every remote
+    SpGEMM window exactly as the reference's compressed matmat ring does
+    (GR_encoder on the index streams, setup_matmat.cpp:1986-2103); "none"
+    ships raw CSR windows. Lossless either way — the hierarchy is identical.
+    """
     import os
     opts = opts or Options()
     if n_shards <= 0:
@@ -592,7 +655,8 @@ def dist_setup(
         def fn(Acur, lvl, o):
             if Acur.shape[0] < n_shards * tail_rows:
                 return coarsen_csr(Acur, lvl, o)
-            return coarsen_dist(Acur, lvl, o, n_shards, pool, meter)
+            return coarsen_dist(Acur, lvl, o, n_shards, pool, meter,
+                                wire_codec)
         hier, info = serial_setup(A, opts, dtype=dtype, use_dense=use_dense,
                                   p_levels=p_levels, coarsen_fn=fn)
     info.comm = meter

@@ -107,6 +107,30 @@ def test_comm_meter_halo_sized():
     assert m.total_bytes > 0
 
 
+def test_gr_wire_codec_compresses_spgemm():
+    """VERDICT item: GR compression on an actual communication wire. With
+    wire_codec="gr" every remote SpGEMM window round-trips through the
+    Golomb-Rice index-stream codec (the reference compresses its matmat
+    ring the same way, setup_matmat.cpp:1986-2103 + CSCMat::compress_prep)
+    — the hierarchy stays bitwise identical while the metered spgemm bytes
+    shrink vs the raw CSR wire."""
+    A, _ = _poisson(16)
+    opts = Options()
+    _, i_raw = dist_setup(A, opts, n_shards=4, tail_rows=64,
+                          wire_codec="none")
+    _, i_gr = dist_setup(A, opts, n_shards=4, tail_rows=64, wire_codec="gr")
+    _assert_same_hierarchy(i_raw, i_gr)
+    raw = i_raw.comm.bytes_by_phase["spgemm"]
+    com = i_gr.comm.bytes_by_phase["spgemm"]
+    assert i_gr.comm.raw_by_phase["spgemm"] == raw
+    # index streams vanish into the GR payload; values (8 B) stay raw, so
+    # the wire must land well under raw (12 B/nnz + 8 B/row) yet above the
+    # incompressible value bytes alone
+    assert com < 0.8 * raw
+    assert com > raw * 8 / 20 * 0.9
+    assert "x of raw" in i_gr.comm.table()
+
+
 def test_solve_through_dist_hierarchy():
     """End-to-end: the dist-built hierarchy drives the jitted pCG exactly
     like the serial one (same iterations, same residual)."""
