@@ -104,6 +104,15 @@ def main():
     spmv_s = _slope(mv_chain, A0dev, x, est_iter_s=est)
     nnz_per_s = A0dev.nnz / spmv_s
 
+    # bf16-stored twin of the same operator — the smoother matvec kernel
+    # (smooth_dtype): bf16 diagonals streamed, f32 x/accumulator/output
+    import dataclasses as _dc
+    A0bf = _dc.replace(
+        A0dev, data=(jnp.asarray(np.asarray(A0dev.data, dtype=np.float32))
+                     .astype(jnp.bfloat16)))
+    spmv_bf16_s = _slope(mv_chain, A0bf, x, est_iter_s=est / 2)
+    nnz_per_s_bf16 = A0dev.nnz / spmv_bf16_s
+
     # ---- tunnel RPC floor: a value fetch costs ~26 ms through the axon
     # tunnel regardless of device work; measure it so solve times can be
     # reported both raw (wall) and device-side (wall - one fetch)

@@ -415,8 +415,8 @@ def devicify(
         is_coarsest = l == n_lv - 1
         # reduced-precision smoother twin built at conversion time from the
         # same host arrays — a device-side astype would pay one remote XLA
-        # compile per level (DIA keeps f32: its Pallas kernel is f32-tiled
-        # and the fine stencil smoother is far below the mid-level cost)
+        # compile per level (bf16 DIA twins stream half the diagonal bytes
+        # through the same Pallas kernel; unsupported dtypes keep f32)
         sm_dt = None
         if opts.smooth_dtype and not is_coarsest:
             sm_dt = jnp.dtype(opts.smooth_dtype)

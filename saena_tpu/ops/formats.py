@@ -119,7 +119,11 @@ class DiaMatrix:
         return self.data.shape[1]
 
     def matvec(self, x: jax.Array) -> jax.Array:
-        x = x.astype(self.dtype)
+        # x and the result stay at the COMPUTE dtype (>= f32): a bf16 twin
+        # reduces only the streamed diagonal values — the kernel's dynamic
+        # shifted loads come from the f32 VMEM scratch, and it accumulates
+        # in f32 (same discipline as the strip kernels' cdt)
+        x = x.astype(jnp.promote_types(self.dtype, jnp.float32))
         # TPU fast path: single-pass Pallas kernel, x resident in VMEM
         # (~36 B/row vs the XLA lowering's ~60+; see pallas_dia_spmv.py)
         from saena_tpu.ops.pallas_dia_spmv import dia_spmv, dia_supported
@@ -136,29 +140,32 @@ class DiaMatrix:
         from saena_tpu.ops.pallas_dia_spmv import (
             dia_fused_update, dia_supported)
 
-        x = x.astype(self.dtype)
+        cdt = jnp.promote_types(self.dtype, jnp.float32)
+        x = x.astype(cdt)
         if jax.default_backend() == "tpu" and \
                 dia_supported(self.offsets, self.n_pad, self.dtype):
             return dia_fused_update(
-                self.data, x, rhs.astype(self.dtype), self.offsets,
-                dinv=None if dinv is None else dinv.astype(self.dtype),
+                self.data, x, rhs.astype(cdt), self.offsets,
+                dinv=None if dinv is None else dinv.astype(cdt),
                 c=c, add_x=add_x)
-        z = rhs.astype(self.dtype) - self.matvec(x)
+        z = rhs.astype(cdt) - self.matvec(x)
         if dinv is not None:
-            z = z * dinv.astype(self.dtype)
+            z = z * dinv.astype(cdt)
         if c != 1.0:
             z = z * c
         return x + z if add_x else z
 
     def matvec_xla(self, x: jax.Array) -> jax.Array:
-        x = x.astype(self.dtype)
+        cdt = jnp.promote_types(self.dtype, jnp.float32)
+        x = x.astype(cdt)
         np_ = self.n_pad
         lo = max(0, -min(self.offsets))
         hi = max(0, max(self.offsets))
         xp = jnp.pad(x, (lo, hi))
-        y = jnp.zeros(np_, dtype=self.dtype)
+        y = jnp.zeros(np_, dtype=cdt)
         for k, off in enumerate(self.offsets):
-            y = y + self.data[k] * jax.lax.dynamic_slice(xp, (lo + off,), (np_,))
+            y = y + self.data[k].astype(cdt) * jax.lax.dynamic_slice(
+                xp, (lo + off,), (np_,))
         return y
 
     def astype(self, dtype) -> "DiaMatrix":
@@ -414,7 +421,11 @@ def dia_offsets_of(A: sp.spmatrix) -> np.ndarray:
     return np.flatnonzero(present) - (n - 1)
 
 
-def dia_from_csr(A: sp.spmatrix, dtype=jnp.float32) -> DiaMatrix:
+def dia_from_csr(A: sp.spmatrix, dtype=jnp.float32,
+                 smooth_dtype=None) -> DiaMatrix:
+    """smooth_dtype: also return a host-cast reduced-precision twin sharing
+    the offsets (values only — the Pallas kernel streams bf16 diagonals and
+    accumulates f32, halving the smoother's dominant HBM term)."""
     coo = A.tocoo()
     n, m = A.shape
     if n != m:
@@ -425,12 +436,15 @@ def dia_from_csr(A: sp.spmatrix, dtype=jnp.float32) -> DiaMatrix:
     data = np.zeros((uniq.size, n_pad), dtype=np.float64)
     k = np.searchsorted(uniq, offs)
     data[k, coo.row] = coo.data  # canonical CSR → no duplicate (k, row) pairs
-    return DiaMatrix(
+    M = DiaMatrix(
         data=to_device(data, dtype),
         shape=(n, m),
         offsets=tuple(int(o) for o in uniq),
         nnz=int(A.nnz),
     )
+    if smooth_dtype is None:
+        return M
+    return M, dataclasses.replace(M, data=to_device(data, smooth_dtype))
 
 
 def dense_from_csr(A: sp.spmatrix, dtype=jnp.float32,
@@ -477,37 +491,50 @@ def device_matrix_from_csr(
 
     smooth_dtype: when set, returns (M, M_smooth|None) — the reduced-
     precision twin is built from the SAME host arrays (no device astype,
-    which would pay one remote XLA compile per level). DIA returns None
-    (its Pallas kernel is f32-tiled; hierarchy.py skips DIA smoothing
-    copies anyway).
+    which would pay one remote XLA compile per level). DIA twins keep the
+    Pallas fast path for bf16 data (f32 x/accumulator); dtypes the kernel
+    cannot stream return None instead of silently degrading to the XLA
+    lowering.
     """
     A = A.tocsr()
     n, m = A.shape
     density = A.nnz / max(1, n * m)
-    ret = (lambda M: M) if smooth_dtype is None else (lambda M: (M, None))
+
+    def ret_dia(built):
+        # keep the reduced twin only where the Pallas kernel streams it
+        # (f32/bf16 data); an unsupported dtype would fall off the fast
+        # path and make the "optimization" slower than f32
+        if smooth_dtype is None:
+            return built
+        M, Msm = built
+        from saena_tpu.ops.pallas_dia_spmv import dia_supported
+
+        if jax.default_backend() == "tpu" and not dia_supported(
+                M.offsets, M.n_pad, Msm.dtype):
+            return M, None
+        return M, Msm
+
     if switch_to_dense and density > dense_thre and max(n, m) <= dense_sz_thre:
         return dense_from_csr(A, dtype=dtype, smooth_dtype=smooth_dtype)
     if n == m and A.nnz > 0:
         offs = dia_offsets_of(A)
         fill = A.nnz / (offs.size * n)
         if offs.size <= max_dia_diags and fill >= dia_fill_thre:
-            return ret(dia_from_csr(A, dtype=dtype))
+            return ret_dia(dia_from_csr(A, dtype=dtype,
+                                        smooth_dtype=smooth_dtype))
         # wide-stencil DIA: Galerkin coarse operators of grid problems keep
         # ~100 diagonals at high fill — the Pallas kernel streams that at
         # HBM rate (12x the strip-gather kernel measured on the 48^3
         # Poisson level 1), so take DIA far past the XLA path's diag cap
         if fill >= dia_fill_thre and offs.size <= 256:
-            import jax
-
             from saena_tpu.ops.pallas_dia_spmv import dia_supported
 
             if jax.default_backend() == "tpu" and \
                     dia_supported(tuple(int(o) for o in offs), pad_to(n),
                                   dtype):
-                return ret(dia_from_csr(A, dtype=dtype))
+                return ret_dia(dia_from_csr(A, dtype=dtype,
+                                            smooth_dtype=smooth_dtype))
     if prefer_bsr is None:
-        import jax
-
         prefer_bsr = jax.default_backend() not in ("cpu",)
     if prefer_bsr and A.nnz > 0:
         builder = pick_gather_format(A, dtype, max_bytes=bsr_max_bytes,

@@ -39,19 +39,22 @@ LANES = 128
 VMEM_BUDGET = 12 * 2**20   # leave headroom under the ~16 MB core VMEM
 
 
-def _vmem_need(ndiag, R, Rp, tr):
-    # x + halo scratch resident, double-buffered data/rhs/dinv/y tiles
-    return 4 * (R * LANES + Rp * LANES
-                + 2 * (ndiag + 3) * tr * LANES)
+def _vmem_need(ndiag, R, Rp, tr, isz=4):
+    # x + halo scratch resident (always f32), double-buffered data tiles at
+    # the DATA itemsize plus f32 rhs/dinv/y tiles
+    return (4 * (R * LANES + Rp * LANES)
+            + 2 * (ndiag * isz + 3 * 4) * tr * LANES)
 
 
-def _plan(offsets, n_pad, m_pad=None):
+def _plan(offsets, n_pad, m_pad=None, isz=4):
     """Static geometry: (Rx, grid, lo128, Rp, tile_rows). tile_rows adapts
     to the diagonal count so wide stencils (Galerkin coarse operators have
     ~100 diagonals) still fit their data tiles in VMEM. m_pad allows a
     RECTANGULAR operator (y rows = n_pad, x length = m_pad): row i reads
     x[i + off] in x's coordinates — the sharded row-block case, where x is
-    the halo-extended local vector."""
+    the halo-extended local vector. isz = data itemsize (bf16 twins stream
+    2 B/diag/row; sub-4-byte data needs tile_rows >= 16 for sublane
+    packing, which every candidate already satisfies)."""
     Ry = n_pad // LANES
     Rx = (m_pad if m_pad is not None else n_pad) // LANES
     lo = max(0, -min(offsets))
@@ -59,11 +62,11 @@ def _plan(offsets, n_pad, m_pad=None):
     lo128 = -(-lo // LANES)
     hi128 = -(-hi // LANES)
     ndiag = len(offsets)
-    tr = 8
+    tr = 8 if isz >= 4 else 16
     for cand in (512, 256, 128, 64, 32, 16):
         g = -(-Ry // cand)
         rp = lo128 + max(Rx, g * cand + hi128) + 1
-        if _vmem_need(ndiag, Rx, rp, cand) <= VMEM_BUDGET:
+        if _vmem_need(ndiag, Rx, rp, cand, isz) <= VMEM_BUDGET:
             tr = cand
             break
     grid = -(-Ry // tr)
@@ -74,13 +77,18 @@ def _plan(offsets, n_pad, m_pad=None):
 
 
 def dia_supported(offsets, n_pad, dtype, m_pad=None) -> bool:
-    """Trace-time gate: f32 only (min tile (8,128)) and VMEM-resident x."""
-    if jnp.dtype(dtype) != jnp.float32 or n_pad % LANES:
+    """Trace-time gate: f32 or bf16 DATA (x/accumulator/output stay f32 —
+    the dynamic shifted loads are from the f32 VMEM scratch, so bf16 data
+    never hits Mosaic's dynamic-bf16-row limitation) and VMEM-resident x."""
+    dt = jnp.dtype(dtype)
+    if dt not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16)) \
+            or n_pad % LANES:
         return False
     if m_pad is not None and m_pad % LANES:
         return False
-    Rx, grid, lo128, Rp, tr = _plan(offsets, n_pad, m_pad)
-    return _vmem_need(len(offsets), Rx, Rp, tr) <= VMEM_BUDGET
+    isz = dt.itemsize
+    Rx, grid, lo128, Rp, tr = _plan(offsets, n_pad, m_pad, isz)
+    return _vmem_need(len(offsets), Rx, Rp, tr, isz) <= VMEM_BUDGET
 
 
 def _kernel(*refs, offsets, Rx, lo128, tr, x_row0, c, add_x, has_rhs,
@@ -114,7 +122,7 @@ def _kernel(*refs, offsets, Rx, lo128, tr, x_row0, c, add_x, has_rhs,
             left = xp[pl.ds(base + q, tr), r:]
             right = xp[pl.ds(base + q + 1, tr), :r]
             sh = jnp.concatenate([left, right], axis=1)
-        acc = acc + data_ref[k] * sh
+        acc = acc + data_ref[k].astype(jnp.float32) * sh
 
     if has_rhs:                         # z = c * [dinv *] (rhs - A x)
         z = rhs_ref[:] - acc
@@ -137,7 +145,8 @@ def _dia_call(data, x, offsets, rhs=None, dinv=None, c=1.0, add_x=False,
               x_row0=0, interpret=False):
     ndiag, n_pad = data.shape
     m_pad = x.shape[0]
-    Rx, grid, lo128, Rp, tr = _plan(offsets, n_pad, m_pad)
+    isz = jnp.dtype(data.dtype).itemsize
+    Rx, grid, lo128, Rp, tr = _plan(offsets, n_pad, m_pad, isz)
     tile = lambda: pl.BlockSpec((tr, LANES), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)
     Ry = n_pad // LANES
@@ -163,7 +172,7 @@ def _dia_call(data, x, offsets, rhs=None, dinv=None, c=1.0, add_x=False,
         scratch_shapes=[pltpu.VMEM((Rp, LANES), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * ndiag * n_pad,
-            bytes_accessed=(ndiag + 2) * n_pad * 4,
+            bytes_accessed=(ndiag * isz + 8) * n_pad,
             transcendentals=0,
         ),
         interpret=interpret,

@@ -357,11 +357,27 @@ def strip8_time_estimate(A: sp.spmatrix, dtype=jnp.float32) -> float:
 def strip8_supported(A: sp.spmatrix, dtype=jnp.float32,
                      vmem_budget: int = 4 * 1024 * 1024,
                      smem_budget: int = 512 * 1024) -> bool:
-    """x strips must fit VMEM; per-sublane strip ids live in SMEM."""
+    """x strips must fit VMEM; per-sublane strip ids live in SMEM.
+
+    The SMEM check uses the PLANNED tile count, not the nnz/8 upper bound:
+    dense-ish mid-level operators pack many entries per tile, so the bound
+    overshoots ~50x and silently exiled exactly the operators strip8 is
+    fastest on (lean 48^3 level-1 A: bound 1.8 MB, actual 60 KB, kernel
+    1.9x faster than single-strip). _plan8 is memoized on the matrix, and
+    format selection calls the time/bytes estimators right after — the plan
+    is computed once either way."""
     n, m = A.shape
     itemsize = max(4, jnp.dtype(dtype).itemsize)
     if pad_to(m) * itemsize >= vmem_budget:
         return False
-    # strips scalar array (8 int32 per tile; tiles <= nnz/8 + n_rb)
+    # cheap accept: even the worst-case tile count fits SMEM
     n_tiles_ub = A.nnz // 8 + pad_to(n, RPT8) // RPT8 + GROUP8
-    return n_tiles_ub * 8 * 4 < smem_budget
+    if n_tiles_ub * 8 * 4 < smem_budget:
+        return True
+    res = _plan8(A)
+    if res is None:
+        return False
+    plan = res[1]
+    n_tiles = max(GROUP8, -(-plan[3].shape[0] // GROUP8) * GROUP8)
+    per_tile = 4 if plan[8] == "interval" else 32   # int32 / 8 x int32
+    return n_tiles * per_tile < smem_budget

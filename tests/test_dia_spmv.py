@@ -42,8 +42,48 @@ def test_wide_offsets_cross_tile():
 
 def test_unsupported_dtypes_and_sizes():
     import jax.numpy as jnp
-    assert not dia_supported((0, 1), 128, jnp.bfloat16)
+    assert dia_supported((0, 1), 128, jnp.bfloat16)   # bf16 DATA streams
+    assert not dia_supported((0, 1), 128, jnp.float16)  # f16 does not
     assert not dia_supported((0, 1), 128 * 40000, jnp.float32)  # VMEM blowout
+
+
+def test_bf16_data_kernel_and_twin():
+    """bf16-stored diagonals through the same kernel: f32 x/accumulator,
+    values rounded once at conversion (the smooth_dtype twin discipline —
+    halves the dominant HBM term of stencil smoothing)."""
+    import jax.numpy as jnp
+
+    A0 = laplacian3D(9, 9, 9)
+    A, *_ = remove_boundary_nodes(A0, np.ones(A0.shape[0]))
+    D, Dsm = dia_from_csr(A, smooth_dtype=jnp.bfloat16)
+    assert Dsm.dtype == jnp.bfloat16
+    assert Dsm.offsets == D.offsets
+    assert dia_supported(Dsm.offsets, Dsm.n_pad, Dsm.dtype)
+    n = A.shape[0]
+    rng = np.random.default_rng(3)
+    x = np.pad(rng.standard_normal(n), (0, D.n_pad - n)).astype(np.float32)
+    y = np.asarray(dia_spmv(Dsm.data, jnp.asarray(x), Dsm.offsets,
+                            interpret=True))
+    assert y.dtype == np.float32
+    ref = A @ x[:n]                       # exact A times x
+    bf = A.copy().astype(np.float32)
+    bf.data = np.asarray(jnp.asarray(bf.data).astype(jnp.bfloat16)
+                         .astype(jnp.float32))
+    ref_bf = bf @ x[:n]
+    np.testing.assert_allclose(y[:n], ref_bf, rtol=2e-5, atol=2e-5)
+    assert np.abs(y[:n] - ref).max() < 0.01 * max(1.0, np.abs(ref).max())
+    assert (y[n:] == 0).all()
+    # fused smoother step with bf16 data
+    from saena_tpu.ops.pallas_dia_spmv import dia_fused_update
+
+    rhs = np.pad(rng.standard_normal(n), (0, D.n_pad - n)).astype(np.float32)
+    dinv = np.pad(1.0 / A.diagonal(), (0, D.n_pad - n)).astype(np.float32)
+    yf = np.asarray(dia_fused_update(Dsm.data, jnp.asarray(x),
+                                     jnp.asarray(rhs), Dsm.offsets,
+                                     dinv=jnp.asarray(dinv), c=2 / 3,
+                                     interpret=True))
+    reff = x[:n] + (2 / 3) * dinv[:n] * (rhs[:n] - ref_bf)
+    np.testing.assert_allclose(yf[:n], reff, rtol=2e-5, atol=2e-5)
 
 
 def test_fused_update_variants():

@@ -124,3 +124,27 @@ def test_strip8_interval_mode_exact():
         y = np.asarray(M.matvec(jnp.asarray(x)))
         yref = A @ x[:m]
         assert np.abs(y[:n] - yref).max() <= 1e-12 * max(1, np.abs(yref).max())
+
+
+def test_strip8_supported_uses_planned_tiles():
+    """The SMEM gate must use the PLANNED tile count, not the nnz/8 upper
+    bound: dense-ish mid-level operators pack many entries per tile, and
+    the bound wrongly exiled exactly the operators strip8 is ~2x fastest
+    on (48^3 lean level-1 A, VERDICT perf profile)."""
+    from saena_tpu.generators import band_matrix
+    from saena_tpu.ops.pallas_strip8_spmv import GROUP8, _plan8
+
+    A = band_matrix(2000, 60).tocsr()          # ~240k nnz, few wide rows
+    n_tiles_ub = A.nnz // 8 + pad_to(A.shape[0], RPT8) // RPT8 + GROUP8
+    assert n_tiles_ub * 8 * 4 >= 512 * 1024    # the old bound said no
+    assert strip8_supported(A)                 # the plan says yes
+    plan = _plan8(A)[1]
+    n_tiles = max(GROUP8, -(-plan[3].shape[0] // GROUP8) * GROUP8)
+    per_tile = 4 if plan[8] == "interval" else 32
+    assert n_tiles * per_tile < 512 * 1024
+    # and the format still computes correctly at that size
+    M = strip8_from_csr(A, dtype=jnp.float64)
+    x = np.random.default_rng(1).standard_normal(pad_to(A.shape[1]))
+    y = np.asarray(M.matvec(jnp.asarray(x)))
+    yref = A @ x[: A.shape[1]]
+    assert np.abs(y[: A.shape[0]] - yref).max() <= 1e-11 * np.abs(yref).max()
