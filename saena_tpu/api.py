@@ -158,13 +158,25 @@ class AMG:
             if bound.size:
                 self._bound = (interior, bound, bound_diag, csr.shape[0])
                 csr = Ai
-        self.hierarchy, self.info = _hier.setup(
-            csr, self.opts, use_dense=getattr(A, "_use_dense", False),
-            p_levels=p_levels,
-        )
+        if self.opts.setup_shards:
+            from saena_tpu.parallel.dist_setup import dist_setup
+
+            self.hierarchy, self.info = dist_setup(
+                csr, self.opts, n_shards=self.opts.setup_shards
+                if self.opts.setup_shards > 0 else 0,
+                use_dense=getattr(A, "_use_dense", False),
+                p_levels=p_levels,
+            )
+        else:
+            self.hierarchy, self.info = _hier.setup(
+                csr, self.opts, use_dense=getattr(A, "_use_dense", False),
+                p_levels=p_levels,
+            )
         self.params = _hier.SolveParams.from_options(self.opts)
         if self.opts.verbose or self.verbose:
             print(self.info.table())
+            if getattr(self.info, "comm", None) is not None:
+                print(self.info.comm.table())  # setup wire volume per phase
         return self
 
     def set_rhs(self, rhs) -> "AMG":

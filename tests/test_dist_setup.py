@@ -148,3 +148,23 @@ def test_solve_through_dist_hierarchy():
     res2 = S.solve_pCG(h2, r, params=params, tol=1e-8, max_iter=60)
     assert int(res1.iters) == int(res2.iters)
     assert float(res2.rel_res) < 1e-8
+
+
+def test_options_setup_shards_api():
+    """Public surface: Options(setup_shards=N) routes AMG.set_matrix through
+    the shard-parallel setup (the reference's distributed setup is reached
+    the same way — just by running under MPI)."""
+    from saena_tpu import AMG, Matrix
+    from saena_tpu.generators import laplacian3D, laplacian3D_set_rhs
+
+    # 16^3 -> 2744 interior rows > n_shards * tail_rows, so the fine level
+    # actually runs distributed under the default tail
+    m = 16
+    M = Matrix(); M.set_csr(laplacian3D(m, m, m)); M.assemble()
+    s1 = AMG().set_matrix(M, Options(remove_boundary=True))
+    s2 = AMG().set_matrix(M, Options(remove_boundary=True, setup_shards=3))
+    _assert_same_hierarchy(s1.info, s2.info)
+    assert s2.info.comm is not None and s2.info.comm.total_bytes > 0
+    s2.set_rhs(laplacian3D_set_rhs(m, m, m))
+    _, res = s2.solve_pCG()
+    assert float(res.rel_res) < 1e-8
