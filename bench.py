@@ -218,6 +218,8 @@ def main():
             "format": type(A0dev).__name__,
             "dtype": "float32",
             "spmv_us": round(spmv_s * 1e6, 2),
+            "spmv_bf16_us": round(spmv_bf16_s * 1e6, 2),
+            "spmv_bf16_nnz_per_s": round(nnz_per_s_bf16, 1),
             "vcycle_ms_est": round(vcycle_s * 1e3, 3),
             "pcg_iters_to_1e8": iters,
             "pcg_rel_res": rel,
