@@ -341,8 +341,10 @@ def strip8_bytes_estimate(A: sp.spmatrix, dtype=jnp.float32) -> int:
 
 # v5e measured: general A1 960 tiles -> 26.0 us, R0 1344 -> 38.8 us,
 # P0 1216 -> 37.1 us (~27-30 ns/tile: 8 scalar x-row loads dominate).
-# Interval replaces them with one dynamic 8-row slice (~2x cheaper/tile).
-STRIP8_NS_PER_TILE = {"general": 29.0, "interval": 15.0}
+# Interval mode measured at scale: 48^3 default level-2 A, 15936 tiles ->
+# 322 us = 20.2 ns/tile (the "one 8-row slice is ~2x cheaper" guess was
+# optimistic and mis-ranked strip8 over single-strip there: 322 vs 234 us).
+STRIP8_NS_PER_TILE = {"general": 29.0, "interval": 20.0}
 
 
 def strip8_time_estimate(A: sp.spmatrix, dtype=jnp.float32) -> float:
