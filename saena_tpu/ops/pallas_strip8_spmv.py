@@ -155,6 +155,10 @@ def strip8_spmv(A: Strip8Matrix, x: jax.Array, interpret: bool = False):
         grid_spec=grid_spec,
         interpret=interpret,
     )(A.strips, xs, A.idx, A.vals)
+    return _reduce_scratch(A, scratch, cdt)
+
+
+def _reduce_scratch(A: Strip8Matrix, scratch, cdt):
     # per-row-block reduction: 512 B row gather + sum (padding slots point
     # at the appended zero row); lane j of a row block belongs to row
     # rb*Q + (j % Q), so the perrow lane groups fold here too
@@ -165,6 +169,32 @@ def strip8_spmv(A: Strip8Matrix, x: jax.Array, interpret: bool = False):
         n_rb = y.shape[0]
         y = y.reshape(n_rb, A.perrow, 128 // A.perrow).sum(axis=1)
     return y.reshape(-1)
+
+
+@jax.jit
+def strip8_spmv_xla(A: Strip8Matrix, x: jax.Array):
+    """Pure-XLA emulation of the strip8 kernel — bit-for-bit the same
+    arithmetic (same per-slot products, same sublane/row-block reduction
+    order on a (T, 8, 128) layout), usable where the Pallas call is not
+    (inside shard_map on CPU meshes; sharded tests/dryruns)."""
+    n_tiles = A.idx.shape[0]
+    n_strips = A.n_cols_pad // 128
+    cdt = jnp.promote_types(A.dtype, jnp.float32)
+    xs = x.astype(cdt).reshape(n_strips, 128)
+    if A.mode == "interval":
+        # strip base + sublane; pad so base+7 never reads past the end
+        xs = jnp.pad(xs, ((0, 8), (0, 0)))
+        rowidx = A.strips[:n_tiles, None] + jnp.arange(8)[None, :]
+        src = jnp.take(xs, rowidx, axis=0)                    # (T, 8, 128)
+    else:
+        src = jnp.take(xs, A.strips[: n_tiles * 8].reshape(n_tiles, 8),
+                       axis=0)
+    gat = jnp.take_along_axis(src, A.idx.astype(jnp.int32), axis=2)
+    c = A.vals.astype(cdt) * gat                              # (T, 8, 128)
+    c = c[:, 0:4] + c[:, 4:8]                                 # same pairwise
+    c = c[:, 0:2] + c[:, 2:4]                                 # fold as the
+    scratch = c[:, 0] + c[:, 1]                               # kernel
+    return _reduce_scratch(A, scratch, cdt)
 
 
 # relative per-tile kernel cost: the general mode assembles its gather

@@ -38,7 +38,7 @@ import scipy.sparse as sp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from saena_tpu.config import Options
-from saena_tpu.ops.formats import pad_to
+from saena_tpu.ops.formats import pad_to, to_device
 from saena_tpu.parallel.halo import HaloPlan, build_halo_plan
 from saena_tpu.parallel.partition import nnz_balanced_split
 from saena_tpu.amg.hierarchy import (
@@ -145,6 +145,58 @@ class ShardedBsr:
         y = jnp.einsum("rik,rk->ri", B, g.reshape(n_br, W * 128),
                        preferred_element_type=self.dtype)
         return y.reshape(-1)
+
+
+@_register
+@dataclasses.dataclass(frozen=True)
+class ShardedStrip8:
+    """Row-sharded multi-strip (strip8) gather SpMV: the fastest single-chip
+    kernel for irregular mid-level operators (2-4x BSR measured) carried
+    onto the mesh. Each device holds its row block's tiles with lane
+    indices into the extended-local x ([local | halo] from the same
+    element-granular plan as ShardedEll); all devices share one static
+    (perrow, mode, n_tiles) geometry so shard_map traces once. Arbitrary
+    row lengths pack into extra tiles — no ELL-style width padding, no
+    spill path needed for skewed rows."""
+
+    idx: jax.Array               # (D, n_tiles, 8, 128) int8
+    vals: jax.Array              # (D, n_tiles, 8, 128)
+    strips: jax.Array            # (D, n_tiles[*8]) int32
+    gather_idx: jax.Array        # (D, n_rb, t_max) int32
+    plan: HaloPlan
+    shape: tuple = _static()
+    nnz: int = _static()
+    perrow: int = _static(default=1)
+    mode: str = _static(default="general")
+    n_cols_pad: int = _static(default=0)   # 128-mult extended-x length
+    n_out: int = _static(default=0)        # per-device padded row count
+
+    @property
+    def dtype(self):
+        return self.vals.dtype
+
+    def astype(self, dtype) -> "ShardedStrip8":
+        return dataclasses.replace(self, vals=self.vals.astype(dtype))
+
+    def matvec(self, x_loc: jax.Array, exact: bool = False) -> jax.Array:
+        from saena_tpu.ops.pallas_strip8_spmv import (
+            Strip8Matrix, strip8_spmv, strip8_spmv_xla)
+
+        cdt = jnp.promote_types(self.dtype, jnp.float32)
+        x_ext = self.plan.extend(x_loc.astype(cdt), exact=exact)
+        x_ext = jnp.pad(x_ext, (0, self.n_cols_pad - x_ext.shape[0]))
+        M = Strip8Matrix(
+            idx=self.idx[0], vals=self.vals[0], strips=self.strips[0],
+            gather_idx=self.gather_idx[0],
+            shape=(self.n_out, self.n_cols_pad), nnz=self.nnz,
+            perrow=self.perrow, mode=self.mode, n_cols_pad=self.n_cols_pad,
+            n_out=self.n_out)
+        y = (strip8_spmv(M, x_ext) if jax.default_backend() == "tpu"
+             else strip8_spmv_xla(M, x_ext))
+        n_rows = y.shape[0]
+        if n_rows < self.n_out:
+            return jnp.pad(y, (0, self.n_out - n_rows))
+        return y[: self.n_out]
 
 
 @_register
@@ -724,6 +776,143 @@ def _sharded_bsr_bytes(A: sp.csr_matrix, row_split, col_split, dtype) -> int:
     return D * n_br * W * 8 * 128 * _jnp.dtype(dtype).itemsize
 
 
+def _sharded_strip8_geometry(A: sp.csr_matrix, row_split, col_split, mode,
+                             axis: str = "d", compress: str = ""):
+    """Shared host prep for the sharded strip8 build/cost: per-device
+    extended-local CSR blocks + the common (perrow, mode8) candidate with
+    the smallest MAX per-device padded tile count (devices run in lockstep,
+    so the slowest shard sets the kernel time). Returns None when no
+    candidate plans (no native toolchain for interval mode is fine — the
+    general numpy fallback always exists)."""
+    from saena_tpu.ops.pallas_strip8_spmv import (
+        GROUP8, _COST_GENERAL, _COST_INTERVAL, _PERROW8, _plan8_one)
+
+    D = len(row_split) - 1
+    n_rows_pad = pad_to(int(np.max(np.diff(row_split))) if D else 1)
+    A = A.tocsr()
+    blocks = []
+    rowcols = []
+    for d in range(D):
+        B = A[row_split[d]: row_split[d + 1]]
+        blocks.append(B)
+        rowcols.append(np.unique(B.indices))
+    # compress participates in the GEOMETRY: int8_block pads max_send, which
+    # shifts every remote slot in the extended layout the tiles index into
+    plan, remap = build_halo_plan(rowcols, col_split, mode=mode, axis=axis,
+                                  compress=compress)
+    if plan.mode == "allgather":
+        ext_len = D * plan.n_local
+    elif plan.mode == "direct":
+        ext_len = pad_to(A.shape[1])
+    else:
+        ext_len = plan.n_local + D * plan.max_send
+    n_cols_pad = pad_to(ext_len)
+    # extended-local canonical CSR per device (rows padded to a COMMON
+    # n_rows_pad so every shard's strip8 geometry is over the same shape)
+    coos = []
+    for d, B in enumerate(blocks):
+        cols_ext = remap(d, B.indices) if B.nnz else \
+            np.zeros(0, dtype=np.int32)
+        indptr = np.concatenate(
+            [B.indptr,
+             np.full(n_rows_pad - B.shape[0], B.indptr[-1],
+                     dtype=B.indptr.dtype)])
+        Bx = sp.csr_matrix(
+            (B.data, cols_ext.astype(np.int64), indptr),
+            shape=(n_rows_pad, n_cols_pad))
+        Bx.sort_indices()
+        coos.append(Bx.tocoo())
+    best = None
+    for pr in _PERROW8:
+        for m8, w in (("interval", _COST_INTERVAL), ("general",
+                                                     _COST_GENERAL)):
+            plans = []
+            worst = 0
+            for c in coos:
+                p = _plan8_one(c, n_rows_pad, n_cols_pad, pr, m8)
+                if p is None:
+                    plans = None
+                    break
+                plans.append(p)
+                nt = max(GROUP8, -(-p[3].shape[0] // GROUP8) * GROUP8)
+                worst = max(worst, nt)
+            if plans is None:
+                continue
+            cost = worst * w
+            if best is None or cost < best[0]:
+                best = (cost, pr, m8, plans, worst)
+    if best is None:
+        return None
+    _, pr, m8, plans, worst_tiles = best
+    return (blocks, coos, plans, plan, n_rows_pad, n_cols_pad, pr, m8,
+            worst_tiles)
+
+
+def sharded_strip8_time(A: sp.csr_matrix, row_split, col_split,
+                        mode: str = "exchange") -> float:
+    """Modeled per-matvec seconds for the sharded strip8 kernel (slowest
+    shard's tiles x the measured ns/tile); inf when not plannable."""
+    from saena_tpu.ops.pallas_strip8_spmv import STRIP8_NS_PER_TILE
+
+    geo = _sharded_strip8_geometry(A, row_split, col_split, mode)
+    if geo is None:
+        return float("inf")
+    return geo[8] * STRIP8_NS_PER_TILE[geo[7]] * 1e-9
+
+
+def _build_sharded_strip8(A, row_split, col_split, dtype, mode, axis,
+                          compress: str = "") -> ShardedStrip8:
+    from saena_tpu.ops.pallas_strip8_spmv import GROUP8
+
+    geo = _sharded_strip8_geometry(A, row_split, col_split, mode,
+                                   axis=axis, compress=compress)
+    if geo is None:
+        raise ValueError("sharded strip8: no plannable layout")
+    blocks, coos, plans, plan, n_rows_pad, n_cols_pad, pr, m8, _ = geo
+    D = len(row_split) - 1
+    if plan.send_idx.shape[0] != D:
+        plan = dataclasses.replace(
+            plan, send_idx=jnp.zeros((D, D, 1), dtype=jnp.int32))
+
+    Q = 128 // pr
+    n_rb = n_rows_pad // Q
+    n_tiles_pad = GROUP8
+    t_max = 1
+    for p in plans:
+        nt = max(GROUP8, -(-p[3].shape[0] // GROUP8) * GROUP8)
+        n_tiles_pad = max(n_tiles_pad, nt)
+        t_max = max(t_max, int(p[4].max()) if p[4].size else 1)
+
+    idx = np.zeros((D, n_tiles_pad, 8, 128), dtype=np.int8)
+    vals = np.zeros((D, n_tiles_pad, 8, 128), dtype=np.float64)
+    strips = np.zeros(
+        (D, n_tiles_pad if m8 == "interval" else n_tiles_pad * 8),
+        dtype=np.int32)
+    gather_idx = np.full((D, n_rb, t_max), n_tiles_pad, dtype=np.int32)
+    for d in range(D):
+        coo = coos[d]
+        e_tile, e_sub, e_krem, tile_strips, rb_tiles = plans[d][:5]
+        n_tiles = tile_strips.shape[0]
+        if n_tiles:
+            if m8 == "interval":
+                strips[d, :n_tiles] = tile_strips
+            else:
+                strips[d, : n_tiles * 8] = tile_strips.reshape(-1)
+            lane = e_krem.astype(np.int64) * Q + coo.row % Q
+            idx[d, e_tile, e_sub, lane] = coo.col % 128
+            vals[d, e_tile, e_sub, lane] = coo.data
+        off = np.cumsum(rb_tiles) - rb_tiles
+        for t in range(t_max):
+            m = rb_tiles > t
+            gather_idx[d, m, t] = off[m] + t
+
+    return ShardedStrip8(
+        idx=jnp.asarray(idx), vals=to_device(vals, dtype),
+        strips=jnp.asarray(strips), gather_idx=jnp.asarray(gather_idx),
+        plan=plan, shape=A.shape, nnz=int(A.nnz), perrow=pr, mode=m8,
+        n_cols_pad=n_cols_pad, n_out=n_rows_pad)
+
+
 def sharded_dia_plan(A: sp.csr_matrix, D: int, d_active: int, dtype,
                      dia_fill_thre: float = 0.3):
     """Eligibility + geometry for ShardedDia: returns (split, n_loc, lo_pad,
@@ -782,14 +971,34 @@ def _build_sharded_dia(A: sp.csr_matrix, plan, dtype, axis: str,
 
 def _sharded_operator(A, row_split, col_split, dtype, mode, axis,
                       compress="", fmt="auto"):
-    """Dispatch ShardedBsr vs ShardedEll for a sharded operator."""
+    """Dispatch ShardedStrip8 / ShardedBsr / ShardedEll for a sharded
+    operator. "auto" on accelerator backends ranks strip8 vs BSR by
+    MODELED MATVEC TIME (same discipline as the single-chip
+    pick_gather_format; the strip kernels are op-bound, BSR stream-bound,
+    so bytes alone mis-rank them); CPU keeps ELL (scalar gather is cheap
+    there, and tests pin formats explicitly)."""
+    if fmt == "strip8":
+        return _build_sharded_strip8(A, row_split, col_split, dtype, mode,
+                                     axis, compress=compress)
     use_bsr = fmt == "bsr"
+    use_s8 = False
     if fmt == "auto":
         import jax as _jax
 
         if _jax.default_backend() != "cpu" and A.nnz > 0:
+            from saena_tpu.ops.formats import (BSR_STREAM_BPS,
+                                               BSR_TIME_FACTOR)
+
             est = _sharded_bsr_bytes(A, row_split, col_split, dtype)
-            use_bsr = est <= 768 * 1024 * 1024 and est <= 1024 * A.nnz
+            bsr_ok = est <= 768 * 1024 * 1024 and est <= 1024 * A.nnz
+            t_bsr = (est / len(row_split[:-1]) / BSR_STREAM_BPS
+                     * BSR_TIME_FACTOR) if bsr_ok else float("inf")
+            t_s8 = sharded_strip8_time(A, row_split, col_split, mode)
+            use_s8 = t_s8 < t_bsr
+            use_bsr = bsr_ok and not use_s8
+    if use_s8:
+        return _build_sharded_strip8(A, row_split, col_split, dtype, mode,
+                                     axis, compress=compress)
     if use_bsr:
         return _build_sharded_bsr(A, row_split, col_split, dtype, mode, axis,
                                   compress=compress)
@@ -875,7 +1084,7 @@ def shard_hierarchy(
     mesh: Mesh,
     dtype=None,
     eigs: Optional[list] = None,
-    sharded_format: str = "auto",   # "auto" | "ell" | "bsr" | "dia"
+    sharded_format: str = "auto",   # "auto" | "ell" | "bsr" | "dia" | "strip8"
 ) -> ShardedHierarchy:
     """Partition the fine levels of a host hierarchy across the mesh; levels
     with global size < opts.replicate_threshold — or whose halo volume

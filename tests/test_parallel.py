@@ -497,3 +497,64 @@ def test_sharded_smooth_dtype(mesh):
         sh0, splits0, rhs, mesh, params=H.SolveParams.from_options(opts0),
         tol=1e-8, max_iter=100)
     assert abs(int(iters) - int(iters0)) <= 1
+
+
+def test_strip8_xla_matches_kernel():
+    """strip8_spmv_xla (the shard_map-safe emulation) is bit-identical to
+    the Pallas kernel's interpret mode — same slot products, same pairwise
+    sublane fold, same row-block reduction."""
+    import scipy.sparse as sp
+    from saena_tpu.ops.pallas_strip8_spmv import (
+        strip8_from_csr, strip8_spmv, strip8_spmv_xla)
+    from saena_tpu.ops.formats import pad_to
+
+    rng = np.random.default_rng(7)
+    A = sp.random(600, 900, density=0.02, random_state=rng, format="csr")
+    A.sort_indices()
+    M = strip8_from_csr(A, dtype=jnp.float64)
+    x = jnp.asarray(rng.standard_normal(M.n_cols_pad))
+    y_k = np.asarray(strip8_spmv(M, x, interpret=True))
+    y_x = np.asarray(strip8_spmv_xla(M, x))
+    assert np.array_equal(y_k, y_x)
+
+
+def test_sharded_strip8_spmv(mesh):
+    """ShardedStrip8 (forced) against scipy on the 8-device mesh — the
+    fastest single-chip mid-level kernel carried onto the mesh (strip8:
+    25 vs BSR 106 us measured on the lean 48^3 level-1 A)."""
+    from saena_tpu.parallel.sharded import _build_sharded_strip8
+
+    A = random_symm_matrix(900, 0.02, seed=5)
+    split = nnz_balanced_split(A, D)
+    sh = _build_sharded_strip8(A, split, split, jnp.float64, "exchange", "d")
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(A.shape[0])
+    xb = jnp.asarray(blocked_pad_vector(x, split))
+
+    def body(m, xloc):
+        return m.matvec(xloc[0])[None]
+
+    y = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(jax.tree.map(lambda _: P("d"), sh), P("d")),
+        out_specs=P("d"), check_vma=False,
+    )(sh, xb)
+    got = unblock_vector(np.asarray(y), split)
+    np.testing.assert_allclose(got, A @ x, rtol=1e-12, atol=1e-12)
+
+
+def test_sharded_pcg_strip8_format(mesh):
+    """Forced strip8 sharded hierarchy: iteration parity with serial."""
+    A, rhs = _poisson_interior(20)
+    opts = Options(replicate_threshold=500)
+    hier, info = H.setup(A, opts)
+    params = H.SolveParams.from_options(opts)
+    rp = np.pad(rhs, (0, hier.n_pad - A.shape[0]))
+    serial = S.solve_pCG(hier, rp, params=params, tol=1e-8, max_iter=100)
+    sh, splits = shard_hierarchy(info, opts, mesh, sharded_format="strip8")
+    from saena_tpu.parallel.sharded import ShardedStrip8
+    assert any(type(lv.A).__name__ == "ShardedStrip8" for lv in sh.sharded)
+    u, iters, r0, rfin, hist = sharded_solve_pCG(
+        sh, splits, rhs, mesh, params=params, tol=1e-8, max_iter=100)
+    assert iters == int(serial.iters)
+    assert np.linalg.norm(rhs - A @ u) / np.linalg.norm(rhs) < 1e-7
