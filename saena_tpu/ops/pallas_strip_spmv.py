@@ -419,8 +419,16 @@ def strip_time_estimate(A: sp.spmatrix, dtype=jnp.float32) -> float:
 
 
 def strip_supported(A: sp.spmatrix, dtype=jnp.float32,
-                    vmem_budget: int = 4 * 1024 * 1024) -> bool:
-    """x strips + y must fit in VMEM alongside the streamed tiles."""
+                    vmem_budget: int = 4 * 1024 * 1024,
+                    smem_budget: int = 512 * 1024) -> bool:
+    """x strips + y must fit in VMEM alongside the streamed tiles, and the
+    scalar-prefetch pair metadata (strip_of + rb_local int32 per pair +
+    sb_of per group ~ 8 B/pair) must fit SMEM: a 34 Mnnz 96^3 mid level
+    planned ~139k pairs = 1.11 MB and blew the 1 MB physical SMEM at
+    compile time — the budget keeps headroom for spill slots."""
     n, m = A.shape
     itemsize = jnp.dtype(dtype).itemsize
-    return (pad_to(m) + pad_to(n, 1024)) * itemsize < vmem_budget
+    if (pad_to(m) + pad_to(n, 1024)) * itemsize >= vmem_budget:
+        return False
+    _, padded = _pick_cached(A.tocsr())
+    return padded * 8 + (padded // GROUP + 1) * 4 < smem_budget

@@ -228,6 +228,9 @@ class ShardedDia:
     def dtype(self):
         return self.data.dtype
 
+    def astype(self, dtype) -> "ShardedDia":
+        return dataclasses.replace(self, data=self.data.astype(dtype))
+
     def _extend(self, x_loc: jax.Array, exact: bool) -> jax.Array:
         """Halo slabs from up to k neighbors per side. Single-hop sends only
         the boundary slab; wider bands (lo/hi_pad > n_loc, VERDICT r1 #8)
@@ -284,7 +287,10 @@ class ShardedDia:
     def matvec(self, x_loc: jax.Array, exact: bool = False) -> jax.Array:
         from saena_tpu.ops.pallas_dia_spmv import dia_supported
 
-        ext = self._extend(x_loc.astype(self.dtype), exact)
+        # x/halo/accumulator at the COMPUTE dtype (>= f32): a bf16 twin
+        # reduces only the streamed diagonals, same as single-chip DIA
+        cdt = jnp.promote_types(self.dtype, jnp.float32)
+        ext = self._extend(x_loc.astype(cdt), exact)
         offs = self._ext_offsets()
         if jax.default_backend() == "tpu" and \
                 dia_supported(offs, self.n_loc, self.dtype, ext.shape[0]):
@@ -300,18 +306,19 @@ class ShardedDia:
         from saena_tpu.ops.pallas_dia_spmv import (
             dia_fused_update, dia_supported)
 
-        x_loc = x_loc.astype(self.dtype)
+        cdt = jnp.promote_types(self.dtype, jnp.float32)
+        x_loc = x_loc.astype(cdt)
         ext = self._extend(x_loc, exact=False)
         offs = self._ext_offsets()
         if jax.default_backend() == "tpu" and \
                 dia_supported(offs, self.n_loc, self.dtype, ext.shape[0]):
             return dia_fused_update(
-                self.data[0], ext, rhs.astype(self.dtype), offs,
-                dinv=None if dinv is None else dinv.astype(self.dtype),
+                self.data[0], ext, rhs.astype(cdt), offs,
+                dinv=None if dinv is None else dinv.astype(cdt),
                 c=c, add_x=add_x, x_row0=self.lo_pad // 128)
-        z = rhs.astype(self.dtype) - _dia_rect_xla(self.data[0], ext, offs)
+        z = rhs.astype(cdt) - _dia_rect_xla(self.data[0], ext, offs)
         if dinv is not None:
-            z = z * dinv.astype(self.dtype)
+            z = z * dinv.astype(cdt)
         if c != 1.0:
             z = z * c
         return x_loc + z if add_x else z
@@ -319,13 +326,16 @@ class ShardedDia:
 
 def _dia_rect_xla(data: jax.Array, x_ext: jax.Array, offsets) -> jax.Array:
     """XLA fallback for the rectangular DIA block: y[i] = sum_k
-    data[k, i] * x_ext[i + off_k] with x_ext zero-extended."""
+    data[k, i] * x_ext[i + off_k] with x_ext zero-extended. Accumulates at
+    the compute dtype (>= f32) so bf16 twins only reduce the stream."""
     ndiag, n_loc = data.shape
+    cdt = jnp.promote_types(data.dtype, jnp.float32)
     hi = max(0, max(offsets) + n_loc - x_ext.shape[0])
-    xp = jnp.pad(x_ext, (0, hi))
-    y = jnp.zeros(n_loc, dtype=data.dtype)
+    xp = jnp.pad(x_ext.astype(cdt), (0, hi))
+    y = jnp.zeros(n_loc, dtype=cdt)
     for k, off in enumerate(offsets):
-        y = y + data[k] * jax.lax.dynamic_slice(xp, (off,), (n_loc,))
+        y = y + data[k].astype(cdt) * jax.lax.dynamic_slice(
+            xp, (off,), (n_loc,))
     return y
 
 
@@ -1201,9 +1211,18 @@ def shard_hierarchy(
         A_smooth = None
         if opts.smooth_dtype:
             sm_dt = jnp.dtype(opts.smooth_dtype)
-            # DIA keeps its f32 Pallas path (bf16 falls to the XLA lowering)
-            if sm_dt != jnp.dtype(dt) and hasattr(Ash, "astype") and \
-                    type(Ash).__name__ != "ShardedDia":
+            keep = sm_dt != jnp.dtype(dt) and hasattr(Ash, "astype")
+            if keep and type(Ash).__name__ == "ShardedDia":
+                # keep the twin only where the DIA kernel streams it
+                # (f32/bf16 data); other dtypes would silently fall off
+                # the Pallas path — same policy as single-chip ret_dia
+                from saena_tpu.ops.pallas_dia_spmv import dia_supported
+
+                ext_len = Ash.lo_pad + Ash.n_loc + Ash.hi_pad
+                keep = dia_supported(
+                    tuple(o + Ash.lo_pad for o in Ash.offsets),
+                    Ash.n_loc, sm_dt, ext_len)
+            if keep:
                 A_smooth = Ash.astype(sm_dt)
 
         sharded_levels.append(

@@ -558,3 +558,33 @@ def test_sharded_pcg_strip8_format(mesh):
         sh, splits, rhs, mesh, params=params, tol=1e-8, max_iter=100)
     assert iters == int(serial.iters)
     assert np.linalg.norm(rhs - A @ u) / np.linalg.norm(rhs) < 1e-7
+
+
+def test_sharded_dia_bf16_smooth_twin(mesh):
+    """bf16 ShardedDia smoother twins now ride the (geometry-permitting)
+    Pallas path instead of being dropped: same convergence as f64, x and
+    accumulators stay >= f32 (only the streamed diagonals shrink)."""
+    from saena_tpu.parallel.sharded import ShardedDia
+
+    A, rhs = _poisson_interior(20)
+    opts = Options(replicate_threshold=500, smooth_dtype="bfloat16")
+    hier, info = H.setup(A, opts, dtype=jnp.float32)
+    sh, splits = shard_hierarchy(info, opts, mesh, dtype=jnp.float32,
+                                 sharded_format="dia")
+    lv0 = sh.sharded[0]
+    assert isinstance(lv0.A, ShardedDia)
+    assert lv0.A_smooth is not None
+    assert lv0.A_smooth.dtype == jnp.bfloat16
+    u, iters, r0, rfin, hist = sharded_solve_pCG(
+        sh, splits, rhs, mesh, params=H.SolveParams.from_options(opts),
+        tol=1e-6, max_iter=100)
+    assert np.linalg.norm(rhs - A @ u) / np.linalg.norm(rhs) < 1e-5
+
+    opts0 = Options(replicate_threshold=500)
+    sh0, splits0 = shard_hierarchy(H.setup(A, opts0, dtype=jnp.float32)[1],
+                                   opts0, mesh, dtype=jnp.float32,
+                                   sharded_format="dia")
+    _, iters0, *_ = sharded_solve_pCG(
+        sh0, splits0, rhs, mesh, params=H.SolveParams.from_options(opts0),
+        tol=1e-6, max_iter=100)
+    assert abs(int(iters) - int(iters0)) <= 1
