@@ -202,6 +202,55 @@ def main():
     except Exception as e:           # lean mode must never break the bench
         lean = {"error": repr(e)}
 
+    # ---- scale: the weak-scaled-workload answer (config 5 class) on ONE
+    # chip — ~831k rows (96^3 interior) through the lean hierarchy; panelled
+    # DIA + row-panelled strip8 keep multi-million-row levels on the Pallas
+    # paths. SAENA_BENCH_SCALE_M overrides the edge (0 disables).
+    scale = {}
+    try:
+        ms = int(os.environ.get("SAENA_BENCH_SCALE_M", "96"))
+        if ms:
+            As0 = laplacian3D(ms, ms, ms)
+            rs0 = laplacian3D_set_rhs(ms, ms, ms)
+            As, _, _, _, rs = remove_boundary_nodes(As0, rs0)
+            ns = As.shape[0]
+            opts_s = Options(aggregation="double", smooth_dtype="bfloat16",
+                             preSmooth=2, postSmooth=2)
+            t0 = time.perf_counter()
+            hier_s, info_s = H.setup(As, opts_s, dtype=dtype)
+            scale_setup_s = time.perf_counter() - t0
+            params_s = H.SolveParams.from_options(opts_s)
+            rhs_s = jnp.asarray(np.pad(rs, (0, hier_s.n_pad - ns)),
+                                dtype=dtype)
+            res_s = S.solve_pCG(hier_s, rhs_s, params=params_s, tol=1e-8,
+                                max_iter=200)
+            it_s = int(res_s.iters)
+            t0 = time.perf_counter()
+            out = S.solve_pCG(hier_s, rhs_s, params=params_s, tol=1e-8,
+                              max_iter=200)
+            float(out.final_res)
+            solve_s_wall = time.perf_counter() - t0
+            # fine-level SpMV rate at scale
+            A0s = hier_s.levels[0].A
+            xs_ = jnp.asarray(
+                np.pad(np.random.default_rng(0).standard_normal(ns) /
+                       np.abs(As).sum(axis=1).max(),
+                       (0, hier_s.n_pad - ns)), dtype=dtype)
+            est_s = A0s.nnz * 12.0 / 819e9
+            sp_s = _slope(mv_chain, A0s, xs_, est_iter_s=est_s)
+            scale = {
+                "n": ns, "nnz": int(As.nnz),
+                "setup_s": round(scale_setup_s, 2),
+                "pcg_iters_to_1e8": it_s,
+                "pcg_rel_res": float(res_s.rel_res),
+                "pcg_solve_ms": round(solve_s_wall * 1e3, 2),
+                "spmv_us": round(sp_s * 1e6, 2),
+                "spmv_nnz_per_s": round(A0s.nnz / sp_s, 1),
+                "levels": info_s.sizes,
+            }
+    except Exception as e:            # scale mode must never break the bench
+        scale = {"error": repr(e)}
+
     hbm_bw = 819e9  # v5e
     roofline = hbm_bw / 12.0
     vs_baseline = nnz_per_s / roofline
@@ -229,6 +278,7 @@ def main():
             "setup_s": round(setup_s, 2),
             "levels": info.sizes,
             "lean": lean,
+            "scale": scale,
             "device": str(jax.devices()[0]),
         },
     }

@@ -236,7 +236,40 @@ class BsrMatrix:
         return dataclasses.replace(self, blocks=self.blocks.astype(dtype))
 
 
-DeviceMatrix = EllMatrix | DiaMatrix | DenseMatrix | BsrMatrix
+@_register
+@dataclasses.dataclass(frozen=True)
+class RowPanels:
+    """Horizontal concatenation of row-panel sub-matrices sharing one x.
+
+    The panel trick for formats with per-call resource ceilings: the strip8
+    kernel prefetches per-tile strip ids into SMEM (512 KB), so one call
+    caps at ~16k planned tiles — row panels split the prefetch across
+    independent calls while x (the VMEM-resident side) is shared. Same
+    pattern as the DIA row panels (pallas_dia_spmv.dia_panels), driven
+    from the format layer because the panel boundary changes the host
+    PLAN, not just the kernel geometry."""
+
+    parts: tuple               # row panels, top to bottom (each a format)
+    shape: tuple = _static()
+    nnz: int = _static()
+
+    @property
+    def dtype(self):
+        return self.parts[0].dtype
+
+    @property
+    def n_pad(self) -> int:
+        return sum(p.n_pad for p in self.parts)
+
+    def matvec(self, x: jax.Array) -> jax.Array:
+        return jnp.concatenate([p.matvec(x) for p in self.parts])
+
+    def astype(self, dtype) -> "RowPanels":
+        return dataclasses.replace(
+            self, parts=tuple(p.astype(dtype) for p in self.parts))
+
+
+DeviceMatrix = EllMatrix | DiaMatrix | DenseMatrix | BsrMatrix | RowPanels
 
 
 # ---------------------------------------------------------------------------
@@ -590,6 +623,18 @@ def _pick_gather(A, dtype, max_bytes, max_bytes_per_nnz):
             t8 = strip8_time_estimate(A, dtype)
             if t8 < best[0]:
                 best = (t8, strip8_from_csr)
+        elif not strip8_supported(A, dtype):
+            # SMEM-gated at full size (big mid-level operators): row
+            # panels split the per-call prefetch; x stays shared
+            from saena_tpu.ops.pallas_strip8_spmv import (
+                strip8_panel_slices, strip8_panels_bytes_estimate,
+                strip8_panels_from_csr, strip8_panels_time_estimate)
+
+            if strip8_panel_slices(A, dtype) is not None and \
+                    strip8_panels_bytes_estimate(A, dtype) <= cap:
+                t8p = strip8_panels_time_estimate(A, dtype)
+                if t8p < best[0]:
+                    best = (t8p, strip8_panels_from_csr)
     if bsr_bytes_estimate(A, dtype) <= cap:
         tb = bsr_time_estimate(A, dtype)
         if tb < best[0]:

@@ -20,11 +20,16 @@ saena_matrix_matvec.cpp:68-80; DIA is its gather-free TPU replacement
 for stencil operators).
 
 Applicability: DIA matrices whose x fits VMEM next to the data tiles
-(n up to ~1.4M rows at f32) — covers every fine-level stencil the
-generators produce. Falls back to the XLA path otherwise (dia_supported).
-The kernel is also RECTANGULAR-capable (y rows != x length): a sharded
-row block reading the halo-extended local vector passes offsets shifted
-into extended coordinates (parallel/sharded.py ShardedDia).
+(n up to ~1.4M rows at f32 in ONE call). Larger operators are row-PANELLED
+(dia_panels): each panel is a rectangular kernel call whose x window is the
+panel's band reach [p0-lo, p0+bp+hi) — the same trick a sharded row block
+uses, applied within one chip — so multi-million-row stencils stay on the
+Pallas path instead of falling to the XLA lowering (measured 17.5 Gnnz/s
+at 2M rows vs ~170 on the kernel). Falls back to the XLA path only when
+even panelling fails (dia_supported). The kernel is RECTANGULAR-capable
+(y rows != x length): a sharded row block reading the halo-extended local
+vector passes offsets shifted into extended coordinates
+(parallel/sharded.py ShardedDia).
 """
 from __future__ import annotations
 
@@ -76,8 +81,8 @@ def _plan(offsets, n_pad, m_pad=None, isz=4):
     return Rx, grid, lo128, Rp, tr
 
 
-def dia_supported(offsets, n_pad, dtype, m_pad=None) -> bool:
-    """Trace-time gate: f32 or bf16 DATA (x/accumulator/output stay f32 —
+def _whole_supported(offsets, n_pad, dtype, m_pad=None) -> bool:
+    """Single-call gate: f32 or bf16 DATA (x/accumulator/output stay f32 —
     the dynamic shifted loads are from the f32 VMEM scratch, so bf16 data
     never hits Mosaic's dynamic-bf16-row limitation) and VMEM-resident x."""
     dt = jnp.dtype(dtype)
@@ -89,6 +94,55 @@ def dia_supported(offsets, n_pad, dtype, m_pad=None) -> bool:
     isz = dt.itemsize
     Rx, grid, lo128, Rp, tr = _plan(offsets, n_pad, m_pad, isz)
     return _vmem_need(len(offsets), Rx, Rp, tr, isz) <= VMEM_BUDGET
+
+
+@functools.lru_cache(maxsize=512)
+def dia_panels(offsets, n_pad, dtype_name):
+    """Row-panel decomposition for SQUARE operators whose x exceeds the
+    VMEM budget: panels of bp rows, each a rectangular kernel call reading
+    the x window [w0, w1) that covers the panel's band reach. Offsets are
+    rebased into window coordinates (off + p0 - w0); p0 and w0 are 128-
+    aligned so the fused-update x-add lands on x_row0 = (p0-w0)/128 rows
+    of the window scratch. Returns a tuple of
+    (p0, bp, w0, wlen, offs_window, x_row0) or None."""
+    lo = max(0, -min(offsets))
+    hi = max(0, max(offsets))
+    Ry = n_pad // LANES
+    for npanel in (2, 4, 8, 16, 32):
+        # panel starts are multiples of 512 tiles so every tile-rows
+        # candidate in _plan divides the start: the kernel then reads
+        # data/rhs/dinv straight out of the FULL arrays via BlockSpec
+        # index offsets — no per-matvec panel copies of the data array
+        btiles = -(-(-(-Ry // npanel)) // 512) * 512
+        bp = btiles * LANES
+        panels = []
+        ok = True
+        for p0 in range(0, n_pad, bp):
+            bpi = min(bp, n_pad - p0)
+            w0 = max(0, (p0 - lo) // LANES * LANES)
+            w1 = min(n_pad, -(-(p0 + bpi + hi) // LANES) * LANES)
+            offs = tuple(off + p0 - w0 for off in offsets)
+            if not _whole_supported(offs, bpi, dtype_name, m_pad=w1 - w0):
+                ok = False
+                break
+            panels.append((p0, bpi, w0, w1 - w0, offs, (p0 - w0) // LANES))
+        if ok and len(panels) > 1:
+            return tuple(panels)
+    return None
+
+
+def dia_supported(offsets, n_pad, dtype, m_pad=None) -> bool:
+    """Trace-time gate for the Pallas path: a single VMEM-resident-x call,
+    or (square case) a row-panel decomposition (dia_panels)."""
+    if _whole_supported(offsets, n_pad, dtype, m_pad):
+        return True
+    if m_pad is None:
+        dt = jnp.dtype(dtype)
+        if dt not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16)) \
+                or n_pad % LANES:
+            return False
+        return dia_panels(tuple(offsets), n_pad, dt.name) is not None
+    return False
 
 
 def _kernel(*refs, offsets, Rx, lo128, tr, x_row0, c, add_x, has_rhs,
@@ -107,10 +161,15 @@ def _kernel(*refs, offsets, Rx, lo128, tr, x_row0, c, add_x, has_rhs,
 
     @pl.when(i == 0)
     def _():
-        xp[0:lo128, :] = jnp.zeros((lo128, LANES), x_ref.dtype)
+        # lo128/tail are static; Mosaic rejects zero-sized vector writes
+        # (panelled calls rebase offsets so interior panels have lo128 == 0)
+        if lo128:
+            xp[0:lo128, :] = jnp.zeros((lo128, LANES), x_ref.dtype)
         xp[pl.ds(lo128, Rx), :] = x_ref[:]
         tail = xp.shape[0] - lo128 - Rx
-        xp[pl.ds(lo128 + Rx, tail), :] = jnp.zeros((tail, LANES), x_ref.dtype)
+        if tail:
+            xp[pl.ds(lo128 + Rx, tail), :] = jnp.zeros((tail, LANES),
+                                                       x_ref.dtype)
 
     base = i * tr
     acc = jnp.zeros((tr, LANES), jnp.float32)
@@ -140,26 +199,34 @@ def _kernel(*refs, offsets, Rx, lo128, tr, x_row0, c, add_x, has_rhs,
 
 @functools.partial(jax.jit,
                    static_argnames=("offsets", "c", "add_x", "x_row0",
-                                    "interpret"))
+                                    "p0", "bp", "interpret"))
 def _dia_call(data, x, offsets, rhs=None, dinv=None, c=1.0, add_x=False,
-              x_row0=0, interpret=False):
-    ndiag, n_pad = data.shape
+              x_row0=0, p0=0, bp=None, interpret=False):
+    """One kernel call over output rows [p0, p0 + bp) of the FULL data /
+    rhs / dinv arrays (p0=0, bp=None: all rows). Panel calls pass the
+    full arrays and a 128*tr-aligned p0 so the BlockSpec index maps read
+    the panel straight out of HBM — only the x window is a sliced copy."""
+    ndiag, n_total = data.shape
+    n_pad = bp if bp is not None else n_total
     m_pad = x.shape[0]
     isz = jnp.dtype(data.dtype).itemsize
     Rx, grid, lo128, Rp, tr = _plan(offsets, n_pad, m_pad, isz)
-    tile = lambda: pl.BlockSpec((tr, LANES), lambda i: (i, 0),
+    assert p0 % (tr * LANES) == 0, (p0, tr)
+    t0 = p0 // (tr * LANES)
+    tile = lambda: pl.BlockSpec((tr, LANES), lambda i: (t0 + i, 0),
                                 memory_space=pltpu.VMEM)
     Ry = n_pad // LANES
+    Ryt = n_total // LANES
     in_specs = [
         pl.BlockSpec((Rx, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((ndiag, tr, LANES), lambda i: (0, i, 0),
+        pl.BlockSpec((ndiag, tr, LANES), lambda i: (0, t0 + i, 0),
                      memory_space=pltpu.VMEM),
     ]
-    args = [x.reshape(Rx, LANES), data.reshape(ndiag, Ry, LANES)]
+    args = [x.reshape(Rx, LANES), data.reshape(ndiag, Ryt, LANES)]
     if rhs is not None:
-        in_specs.append(tile()); args.append(rhs.reshape(Ry, LANES))
+        in_specs.append(tile()); args.append(rhs.reshape(Ryt, LANES))
     if dinv is not None:
-        in_specs.append(tile()); args.append(dinv.reshape(Ry, LANES))
+        in_specs.append(tile()); args.append(dinv.reshape(Ryt, LANES))
     y2d = pl.pallas_call(
         functools.partial(
             _kernel, offsets=tuple(offsets), Rx=Rx, lo128=lo128, tr=tr,
@@ -168,7 +235,8 @@ def _dia_call(data, x, offsets, rhs=None, dinv=None, c=1.0, add_x=False,
         out_shape=jax.ShapeDtypeStruct((Ry, LANES), jnp.float32),
         grid=(grid,),
         in_specs=in_specs,
-        out_specs=tile(),
+        out_specs=pl.BlockSpec((tr, LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((Rp, LANES), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * ndiag * n_pad,
@@ -186,8 +254,20 @@ def dia_spmv(data: jax.Array, x: jax.Array, offsets: tuple,
 
     data: (ndiag, n_pad) f32, zero where out of range; x: (n_pad,) f32
     zero-padded. Preserves zero padding (padded rows have all-zero data).
+    Square operators beyond the one-call VMEM budget run as row panels
+    (dia_panels) — each panel reads only its band window of x.
     """
-    return _dia_call(data, x, tuple(offsets), interpret=interpret)
+    offsets = tuple(offsets)
+    n_pad = data.shape[1]
+    if _whole_supported(offsets, n_pad, data.dtype):
+        return _dia_call(data, x, offsets, interpret=interpret)
+    panels = dia_panels(offsets, n_pad, jnp.dtype(data.dtype).name)
+    ys = [
+        _dia_call(data, jax.lax.slice(x, (w0,), (w0 + wlen,)), offs,
+                  p0=p0, bp=bp, interpret=interpret)
+        for (p0, bp, w0, wlen, offs, _) in panels
+    ]
+    return jnp.concatenate(ys)
 
 
 def dia_fused_update(data, x, rhs, offsets, dinv=None, c: float = 1.0,
@@ -207,6 +287,23 @@ def dia_fused_update(data, x, rhs, offsets, dinv=None, c: float = 1.0,
 
     x may be LONGER than rhs (the halo-extended local vector of a sharded
     row block); x_row0 gives the 128-row offset of the block's own rows
-    inside x so add_x reads the right slice."""
-    return _dia_call(data, x, tuple(offsets), rhs=rhs, dinv=dinv, c=float(c),
-                     add_x=add_x, x_row0=int(x_row0), interpret=interpret)
+    inside x so add_x reads the right slice. Square operators beyond the
+    one-call VMEM budget run as row panels (dia_panels; x_row0 must be 0 —
+    the panel decomposition derives its own window offsets)."""
+    offsets = tuple(offsets)
+    n_pad = data.shape[1]
+    if _whole_supported(offsets, n_pad, data.dtype,
+                        m_pad=x.shape[0] if x.shape[0] != n_pad else None):
+        return _dia_call(data, x, offsets, rhs=rhs, dinv=dinv, c=float(c),
+                         add_x=add_x, x_row0=int(x_row0),
+                         interpret=interpret)
+    assert x.shape[0] == n_pad and x_row0 == 0, \
+        "panelled fused update supports the square case only"
+    panels = dia_panels(offsets, n_pad, jnp.dtype(data.dtype).name)
+    ys = [
+        _dia_call(data, jax.lax.slice(x, (w0,), (w0 + wlen,)), offs,
+                  rhs=rhs, dinv=dinv, c=float(c), add_x=add_x, x_row0=xr0,
+                  p0=p0, bp=bp, interpret=interpret)
+        for (p0, bp, w0, wlen, offs, xr0) in panels
+    ]
+    return jnp.concatenate(ys)

@@ -249,15 +249,20 @@ def _plan8(A: sp.spmatrix):
     coo = A.tocoo()
     best = None
     best_cost = None
-    for pr in _PERROW8:
-        for mode, w in (("interval", _COST_INTERVAL),
-                        ("general", _COST_GENERAL)):
-            p = _plan8_one(coo, n, m, pr, mode)
-            if p is None:
-                continue
-            cost = p[3].shape[0] * w  # tiles weighted by per-tile cost
-            if best is None or cost < best_cost:
-                best, best_cost = (coo, p), cost
+    hint = getattr(A, "_saena_strip8_hint", None)
+    cands = ([(hint[0], hint[1],
+               _COST_INTERVAL if hint[1] == "interval" else _COST_GENERAL)]
+             if hint is not None else
+             [(pr, mode, w) for pr in _PERROW8
+              for mode, w in (("interval", _COST_INTERVAL),
+                              ("general", _COST_GENERAL))])
+    for pr, mode, w in cands:
+        p = _plan8_one(coo, n, m, pr, mode)
+        if p is None:
+            continue
+        cost = p[3].shape[0] * w  # tiles weighted by per-tile cost
+        if best is None or cost < best_cost:
+            best, best_cost = (coo, p), cost
     res = best
     try:
         A._saena_strip8_plan = (key, res)
@@ -384,6 +389,94 @@ def strip8_time_estimate(A: sp.spmatrix, dtype=jnp.float32) -> float:
     mode = plan[8]
     n_tiles = max(GROUP8, -(-plan[3].shape[0] // GROUP8) * GROUP8)
     return n_tiles * STRIP8_NS_PER_TILE[mode] * 1e-9
+
+
+def strip8_panel_slices(A: sp.spmatrix, dtype=jnp.float32,
+                        smem_budget: int = 512 * 1024):
+    """Row-panel decomposition for operators whose planned tile count
+    exceeds the SMEM prefetch budget in ONE call (the 512 KB gate below):
+    the smallest panel count (2/4/8) whose every 128-aligned row panel is
+    strip8_supported, as a tuple of CSR row slices sharing the full column
+    space (x is the VMEM side and is shared across panel calls). Memoized
+    on the matrix object like _plan8. None if panelling doesn't help."""
+    A = A.tocsr()
+    key = (A.shape, A.nnz, smem_budget)
+    tok = getattr(A, "_saena_strip8_panels", None)
+    if tok is not None and tok[0] == key:
+        return tok[1]
+    res = None
+    n, m = A.shape
+    itemsize = max(4, jnp.dtype(dtype).itemsize)
+    full = _plan8(A) if pad_to(m) * itemsize < 4 * 1024 * 1024 else None
+    if full is not None:
+        # panel feasibility straight from the FULL plan: tiles are per
+        # row-block, panels are contiguous row-blocks, so per-panel tile
+        # counts are exact prefix sums — no per-panel re-planning here
+        plan = full[1]
+        rb_tiles, perrow, mode = plan[4], plan[7], plan[8]
+        per_tile = 4 if mode == "interval" else 32
+        Q = 128 // perrow
+        cum = np.concatenate([[0], np.cumsum(rb_tiles)])
+        rb128 = pad_to(n) // 128
+        for npanel in (2, 4, 8):
+            btile = -(-rb128 // npanel)
+            bounds = [min(n, i * btile * 128) for i in range(npanel + 1)]
+            spans = [(b0, b1) for b0, b1 in zip(bounds, bounds[1:])
+                     if b1 > b0]
+            if len(spans) < 2:
+                continue
+            ok = True
+            for b0, b1 in spans:
+                t = int(cum[min(-(-b1 // Q), len(cum) - 1)] - cum[b0 // Q])
+                t_pad = max(GROUP8, -(-t // GROUP8) * GROUP8)
+                if t_pad * per_tile >= smem_budget:
+                    ok = False
+                    break
+            if ok:
+                parts = []
+                for b0, b1 in spans:
+                    p = A[b0:b1].tocsr()
+                    # build with the full plan's layout — one planner pass
+                    # per panel instead of the 6-candidate sweep
+                    p._saena_strip8_hint = (perrow, mode)
+                    parts.append(p)
+                res = tuple(parts)
+                break
+    try:
+        A._saena_strip8_panels = (key, res)
+    except AttributeError:
+        pass
+    return res
+
+
+def strip8_panels_time_estimate(A: sp.spmatrix, dtype=jnp.float32) -> float:
+    parts = strip8_panel_slices(A, dtype)
+    # ~2 us of launch + scratch-reduce overhead per extra panel call
+    return (sum(strip8_time_estimate(p, dtype) for p in parts)
+            + 2e-6 * (len(parts) - 1))
+
+
+def strip8_panels_bytes_estimate(A: sp.spmatrix, dtype=jnp.float32) -> int:
+    parts = strip8_panel_slices(A, dtype)
+    return sum(strip8_bytes_estimate(p, dtype) for p in parts)
+
+
+def strip8_panels_from_csr(A: sp.spmatrix, dtype=jnp.float32,
+                           smooth_dtype=None):
+    """Build the row-panelled strip8 composite (formats.RowPanels)."""
+    from saena_tpu.ops.formats import RowPanels
+
+    A = A.tocsr()
+    parts = strip8_panel_slices(A, dtype)
+    built = [strip8_from_csr(p, dtype=dtype, smooth_dtype=smooth_dtype)
+             for p in parts]
+    if smooth_dtype is None:
+        return RowPanels(parts=tuple(built), shape=A.shape, nnz=int(A.nnz))
+    M = RowPanels(parts=tuple(b for b, _ in built), shape=A.shape,
+                  nnz=int(A.nnz))
+    Msm = RowPanels(parts=tuple(s for _, s in built), shape=A.shape,
+                    nnz=int(A.nnz))
+    return M, Msm
 
 
 def strip8_supported(A: sp.spmatrix, dtype=jnp.float32,

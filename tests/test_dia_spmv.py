@@ -42,9 +42,50 @@ def test_wide_offsets_cross_tile():
 
 def test_unsupported_dtypes_and_sizes():
     import jax.numpy as jnp
+    from saena_tpu.ops.pallas_dia_spmv import _whole_supported, dia_panels
     assert dia_supported((0, 1), 128, jnp.bfloat16)   # bf16 DATA streams
     assert not dia_supported((0, 1), 128, jnp.float16)  # f16 does not
-    assert not dia_supported((0, 1), 128 * 40000, jnp.float32)  # VMEM blowout
+    # x beyond the one-call VMEM budget: whole fails, panels carry it
+    assert not _whole_supported((0, 1), 128 * 40000, jnp.float32)
+    assert dia_supported((0, 1), 128 * 40000, jnp.float32)
+    panels = dia_panels((0, 1), 128 * 40000, "float32")
+    assert panels is not None and len(panels) >= 2
+    assert sum(bp for _, bp, *_ in panels) == 128 * 40000
+    # rectangular (sharded) calls never panel
+    assert not dia_supported((0, 1), 128 * 40000, jnp.float32,
+                             m_pad=128 * 40010)
+
+
+def test_panelled_large_square():
+    """Multi-million-row stencil through the row-panel decomposition:
+    each panel is a rectangular kernel call on its band window of x
+    (the fix for 2M-row fine levels falling off the Pallas path)."""
+    import jax.numpy as jnp
+    from saena_tpu.ops.pallas_dia_spmv import (
+        _whole_supported, dia_fused_update)
+
+    n = 1_600_000
+    diags = [0, 1, -1, 5000, -5000]
+    rng = np.random.default_rng(7)
+    A = sp.diags([rng.standard_normal(n - abs(d)) for d in diags],
+                 diags, format="csr")
+    D = dia_from_csr(A)
+    assert not _whole_supported(D.offsets, D.n_pad, D.dtype)
+    assert dia_supported(D.offsets, D.n_pad, D.dtype)
+    x = np.pad(rng.standard_normal(n), (0, D.n_pad - n)).astype(np.float32)
+    y = np.asarray(dia_spmv(D.data, x, D.offsets, interpret=True))
+    ref = A @ x[:n]
+    np.testing.assert_allclose(y[:n], ref, rtol=2e-4, atol=2e-4)
+    assert (y[n:] == 0).all()
+    # fused jacobi sweep panelled: x + w*dinv*(rhs - Ax)
+    rhs = np.pad(rng.standard_normal(n), (0, D.n_pad - n)).astype(np.float32)
+    dg = A.diagonal()
+    dg[dg == 0] = 1.0
+    dinv = np.pad(1.0 / dg, (0, D.n_pad - n)).astype(np.float32)
+    yf = np.asarray(dia_fused_update(D.data, x, rhs, D.offsets,
+                                     dinv=dinv, c=2 / 3, interpret=True))
+    reff = x[:n] + (2 / 3) * dinv[:n] * (rhs[:n] - ref)
+    np.testing.assert_allclose(yf[:n], reff, rtol=2e-4, atol=2e-4)
 
 
 def test_bf16_data_kernel_and_twin():

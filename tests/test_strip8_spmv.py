@@ -148,3 +148,40 @@ def test_strip8_supported_uses_planned_tiles():
     y = np.asarray(M.matvec(jnp.asarray(x)))
     yref = A @ x[: A.shape[1]]
     assert np.abs(y[: A.shape[0]] - yref).max() <= 1e-11 * np.abs(yref).max()
+
+
+def test_strip8_row_panels():
+    """SMEM-gated operators split into row panels (RowPanels composite):
+    matvec == scipy, panel boundaries 128-aligned, padding preserved."""
+    from saena_tpu.ops.formats import RowPanels
+    from saena_tpu.ops.pallas_strip8_spmv import (
+        strip8_panel_slices, strip8_panels_from_csr,
+        strip8_panels_time_estimate, strip8_panels_bytes_estimate)
+
+    from saena_tpu.ops import pallas_strip8_spmv as s8
+
+    A = _rand(1500, 900, 0.03, seed=11)
+    # a budget between the full-size prefetch cost and half of it, so one
+    # call fails but 2+ row panels pass (mirrors the 512 KB gate at scale)
+    plan = s8._plan8(A)[1]
+    n_tiles = max(s8.GROUP8, -(-plan[3].shape[0] // s8.GROUP8) * s8.GROUP8)
+    per_tile = 4 if plan[8] == "interval" else 32
+    budget = int(n_tiles * per_tile * 0.75)
+    assert not strip8_supported(A, jnp.float64, smem_budget=budget)
+    parts = strip8_panel_slices(A, jnp.float64, smem_budget=budget)
+    assert parts is not None and len(parts) >= 2
+    assert sum(p.shape[0] for p in parts) == A.shape[0]
+    M = strip8_panels_from_csr(A, dtype=jnp.float64)
+    assert isinstance(M, RowPanels)
+    x = np.random.default_rng(1).standard_normal(pad_to(A.shape[1]))
+    y = np.asarray(M.matvec(jnp.asarray(x)))
+    yref = A @ x[: A.shape[1]]
+    n = A.shape[0]
+    assert np.abs(y[:n] - yref).max() <= 1e-12 * max(1, np.abs(yref).max())
+    assert y.size == pad_to(n) and np.abs(y[n:]).max() == 0.0
+    # smooth twin shares index arrays, reduces values only
+    M32, Msm = strip8_panels_from_csr(A, dtype=jnp.float32,
+                                      smooth_dtype=jnp.bfloat16)
+    assert Msm.dtype == jnp.bfloat16 and Msm.nnz == M32.nnz
+    assert strip8_panels_time_estimate(A) > 0
+    assert strip8_panels_bytes_estimate(A) > 0
