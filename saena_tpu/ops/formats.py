@@ -269,7 +269,47 @@ class RowPanels:
             self, parts=tuple(p.astype(dtype) for p in self.parts))
 
 
-DeviceMatrix = EllMatrix | DiaMatrix | DenseMatrix | BsrMatrix | RowPanels
+@_register
+@dataclasses.dataclass(frozen=True)
+class ColPanels:
+    """Vertical (column-range) panels summing into one y.
+
+    The x-side twin of RowPanels: the strip kernels keep ALL x strips
+    VMEM-resident (4 MB budget), so an operator with a multi-million-column
+    x (restriction R at 2M-row fine levels) falls off every gather fast
+    path and lands on the XLA per-element gather (~64 ms measured on the
+    126^3 Poisson R). Column panels slice x into VMEM-sized windows; each
+    panel is whatever gather format the time-ranked picker chooses for its
+    column range, and y is the sum of panel contributions."""
+
+    parts: tuple               # per-panel formats, left to right
+    col_starts: tuple = _static()   # 128-aligned x offset per panel
+    col_widths: tuple = _static()   # 128-multiple x slice length per panel
+    shape: tuple = _static()
+    nnz: int = _static()
+
+    @property
+    def dtype(self):
+        return self.parts[0].dtype
+
+    @property
+    def n_pad(self) -> int:
+        return self.parts[0].n_pad
+
+    def matvec(self, x: jax.Array) -> jax.Array:
+        y = None
+        for p, c0, w in zip(self.parts, self.col_starts, self.col_widths):
+            yi = p.matvec(jax.lax.slice(x, (c0,), (c0 + w,)))
+            y = yi if y is None else y + yi
+        return y
+
+    def astype(self, dtype) -> "ColPanels":
+        return dataclasses.replace(
+            self, parts=tuple(p.astype(dtype) for p in self.parts))
+
+
+DeviceMatrix = (EllMatrix | DiaMatrix | DenseMatrix | BsrMatrix | RowPanels
+                | ColPanels)
 
 
 # ---------------------------------------------------------------------------
@@ -601,6 +641,87 @@ def pick_gather_format(A: sp.spmatrix, dtype=jnp.float32,
     return builder
 
 
+STRIP_X_VMEM = 4 * 1024 * 1024   # the strip kernels' x-strips VMEM budget
+
+
+def _colpanel_bounds(m: int, itemsize: int):
+    """128-aligned column-panel bounds so each panel's x strips fit the
+    strip kernels' VMEM budget (half-budget panels leave tile headroom);
+    None when x already fits in one window."""
+    isz = max(4, itemsize)        # x strips stay >= f32 in-kernel
+    if pad_to(m) * isz <= STRIP_X_VMEM:
+        return None
+    W = (STRIP_X_VMEM // 2 // isz // PAD) * PAD
+    return list(range(0, m, W)) + [m]
+
+
+def _colpanel_parts(A: sp.spmatrix, itemsize: int):
+    """Column slices with nnz (memoized on the CALLER's matrix object so
+    estimate and build share one split), or None."""
+    key = (A.shape, A.nnz, itemsize)
+    tok = getattr(A, "_saena_colpanels", None)
+    if tok is not None and tok[0] == key:
+        return tok[1]
+    bounds = _colpanel_bounds(A.shape[1], itemsize)
+    res = None
+    if bounds is not None:
+        Ac = A.tocsc()
+        res = []
+        for c0, c1 in zip(bounds, bounds[1:]):
+            p = Ac[:, c0:c1].tocsr()
+            if p.nnz:
+                res.append((c0, p))
+        res = tuple(res)
+    try:
+        A._saena_colpanels = (key, res)
+    except AttributeError:
+        pass
+    return res
+
+
+def colpanels_from_csr(A: sp.spmatrix, dtype=jnp.float32,
+                       smooth_dtype=None):
+    """Build the column-panelled composite; each panel gets the fastest
+    gather format for its own column range."""
+    isz = jnp.dtype(dtype).itemsize
+    parts = _colpanel_parts(A, isz)
+    n, m = A.shape
+    m_pad = pad_to(m)
+    built, starts, widths = [], [], []
+    for c0, p in parts:
+        _, b = _pick_gather(p, dtype, 768 * 1024 * 1024, 1 << 62)
+        if b is None:
+            b = partial(ell_from_csr, width_quantile=0.98)
+        built.append(b(p, dtype=dtype, smooth_dtype=smooth_dtype))
+        starts.append(c0)
+        widths.append(min(pad_to(p.shape[1]), m_pad - c0))
+    mk = lambda ps: ColPanels(parts=tuple(ps), col_starts=tuple(starts),
+                              col_widths=tuple(widths), shape=(n, m),
+                              nnz=int(A.nnz))
+    if smooth_dtype is None:
+        return mk(built)
+    return mk([b for b, _ in built]), mk([s for _, s in built])
+
+
+def _colpanel_pick(A, dtype, max_bytes, max_bytes_per_nnz):
+    """(time, builder) for the column-panelled candidate, or (inf, None)."""
+    isz = jnp.dtype(dtype).itemsize
+    parts = _colpanel_parts(A, isz)
+    if parts is None or len(parts) < 2:
+        return float("inf"), None
+    total_t, total_b = 0.0, 0
+    for _, p in parts:
+        t, b = _pick_gather(p, dtype, max_bytes, max_bytes_per_nnz)
+        if b is None:
+            return float("inf"), None
+        total_t += t + 2e-6          # per-extra-call launch overhead
+        total_b += bsr_bytes_estimate(p, dtype) if b is bsr_from_csr else 0
+    cap = min(max_bytes, max_bytes_per_nnz * max(1, A.nnz))
+    if total_b > cap:
+        return float("inf"), None
+    return total_t, colpanels_from_csr
+
+
 def _pick_gather(A, dtype, max_bytes, max_bytes_per_nnz):
     from saena_tpu.ops.pallas_strip8_spmv import (
         strip8_bytes_estimate, strip8_from_csr, strip8_supported,
@@ -639,4 +760,12 @@ def _pick_gather(A, dtype, max_bytes, max_bytes_per_nnz):
         tb = bsr_time_estimate(A, dtype)
         if tb < best[0]:
             best = (tb, bsr_from_csr)
+    # wide-x operators (restriction at multi-million-row fine levels):
+    # column panels bring x back under the strip kernels' VMEM budget
+    if A.nnz >= 4096 and \
+            pad_to(A.shape[1]) * max(4, jnp.dtype(dtype).itemsize) \
+            > STRIP_X_VMEM:
+        tc, bc = _colpanel_pick(A, dtype, max_bytes, max_bytes_per_nnz)
+        if tc < best[0]:
+            best = (tc, bc)
     return best

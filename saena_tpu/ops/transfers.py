@@ -28,10 +28,7 @@ import numpy as np
 import scipy.sparse as sp
 
 from saena_tpu.ops.formats import BSR_STREAM_BPS, _register, _static, pad_to
-from saena_tpu.ops.pallas_strip8_spmv import (
-    strip8_from_csr, strip8_supported, strip8_time_estimate)
-from saena_tpu.ops.pallas_strip_spmv import (
-    StripMatrix, strip_from_csr, strip_supported, strip_time_estimate)
+from saena_tpu.ops.pallas_strip_spmv import StripMatrix, strip_from_csr
 
 
 @_register
@@ -104,10 +101,22 @@ def device_bytes(M) -> int:
 
 
 def _strip_time(M_csr: sp.csr_matrix, dtype) -> float:
-    """min estimated matvec seconds over the strip kernels; inf if neither
+    """min estimated matvec seconds over the gather formats; inf if none
     is applicable (tentative P/Pt are one-entry-per-row — strip8's
     multi-strip tiles beat the single-strip layout ~3x on Pt^T, while Pt
-    itself is usually near-diagonal and a coin toss; pick by estimate)."""
+    itself is usually near-diagonal and a coin toss; pick by estimate).
+    Large operators route through the generic time-ranked picker so
+    wide-x cases (Pt^T at multi-million-row fine levels) get column
+    panels instead of falling off the fast paths; small ones keep the
+    direct strip comparison (the picker has a 4096-nnz floor)."""
+    from saena_tpu.ops.formats import gather_time_estimate
+    from saena_tpu.ops.pallas_strip8_spmv import (
+        strip8_supported, strip8_time_estimate)
+    from saena_tpu.ops.pallas_strip_spmv import (
+        strip_supported, strip_time_estimate)
+
+    if M_csr.nnz >= 4096:
+        return gather_time_estimate(M_csr, dtype)
     t = float("inf")
     if strip_supported(M_csr, dtype):
         t = strip_time_estimate(M_csr, dtype)
@@ -117,6 +126,16 @@ def _strip_time(M_csr: sp.csr_matrix, dtype) -> float:
 
 
 def _strip_build(M_csr: sp.csr_matrix, dtype):
+    from saena_tpu.ops.formats import pick_gather_format
+    from saena_tpu.ops.pallas_strip8_spmv import (
+        strip8_from_csr, strip8_supported, strip8_time_estimate)
+    from saena_tpu.ops.pallas_strip_spmv import (
+        strip_supported, strip_time_estimate)
+
+    if M_csr.nnz >= 4096:
+        builder = pick_gather_format(M_csr, dtype)
+        if builder is not None:
+            return builder(M_csr, dtype=dtype)
     s_ok = strip_supported(M_csr, dtype)
     if strip8_supported(M_csr, dtype) and (
             not s_ok or strip8_time_estimate(M_csr, dtype)

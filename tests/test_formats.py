@@ -117,3 +117,41 @@ def test_rcm_reduces_bsr_bytes():
     p = rcm_permutation(Ac)
     after = bsr_bytes_estimate(Ac[p][:, p].tocsr())
     assert after <= before
+
+
+def test_colpanels_matvec():
+    """Column-panelled composite: matvec == scipy with x sliced per panel
+    (the wide-x restriction fix; panels are exercised directly here with
+    the real split logic on a synthetic wide matrix)."""
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+    from saena_tpu.ops.formats import (
+        ColPanels, _colpanel_bounds, _colpanel_parts, colpanels_from_csr,
+        pad_to)
+
+    # narrow x: no split
+    assert _colpanel_bounds(1000, 4) is None
+    # wide x: 128-aligned half-budget panels covering all columns
+    bounds = _colpanel_bounds(2_000_000, 4)
+    assert bounds is not None and bounds[0] == 0 and bounds[-1] == 2_000_000
+    assert all(b % 128 == 0 for b in bounds[:-1])
+
+    # functional check with a small forced split (parts built by hand
+    # through the same builder; selection itself is TPU-only)
+    rng = np.random.default_rng(5)
+    A = sp.random(700, 3000, density=0.01, random_state=rng, format="csr")
+    isz = 4
+    import saena_tpu.ops.formats as F
+    old = F.STRIP_X_VMEM
+    F.STRIP_X_VMEM = 1024 * 4          # force ~3 panels of 512 cols
+    try:
+        M = colpanels_from_csr(A, dtype=jnp.float64)
+    finally:
+        F.STRIP_X_VMEM = old
+    assert isinstance(M, ColPanels) and len(M.parts) >= 2
+    x = rng.standard_normal(pad_to(A.shape[1]))
+    y = np.asarray(M.matvec(jnp.asarray(x)))
+    yref = A @ x[: A.shape[1]]
+    n = A.shape[0]
+    assert np.abs(y[:n] - yref).max() <= 1e-12 * max(1, np.abs(yref).max())
+    assert np.abs(y[n:]).max() == 0.0
