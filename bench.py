@@ -230,11 +230,16 @@ def main():
                               max_iter=200)
             float(out.final_res)
             solve_s_wall = time.perf_counter() - t0
-            # fine-level SpMV rate at scale
-            A0s = hier_s.levels[0].A
+            # fine-level SpMV rate at scale — operator scaled by 1/||A||_inf
+            # exactly like the headline metric so the chained iterates stay
+            # bounded (ADVICE r3: unscaled chains overflow to inf)
+            inv_ns = float(1.0 / np.abs(As).sum(axis=1).max())
+            A0s = jax.tree.map(
+                lambda leaf: leaf * inv_ns
+                if jnp.issubdtype(leaf.dtype, jnp.floating) else leaf,
+                hier_s.levels[0].A)
             xs_ = jnp.asarray(
-                np.pad(np.random.default_rng(0).standard_normal(ns) /
-                       np.abs(As).sum(axis=1).max(),
+                np.pad(np.random.default_rng(0).standard_normal(ns),
                        (0, hier_s.n_pad - ns)), dtype=dtype)
             est_s = A0s.nnz * 12.0 / 819e9
             sp_s = _slope(mv_chain, A0s, xs_, est_iter_s=est_s)

@@ -682,14 +682,25 @@ def _colpanel_parts(A: sp.spmatrix, itemsize: int):
 def colpanels_from_csr(A: sp.spmatrix, dtype=jnp.float32,
                        smooth_dtype=None):
     """Build the column-panelled composite; each panel gets the fastest
-    gather format for its own column range."""
+    gather format for its own column range.
+
+    When the caller came through ``_colpanel_pick`` (format selection), the
+    per-panel builder choices made UNDER THE CALLER'S BYTE CAPS are memoized
+    on the matrix and reused here, so estimate and build never diverge
+    (ADVICE r3: the old path re-picked with uncapped budgets)."""
     isz = jnp.dtype(dtype).itemsize
     parts = _colpanel_parts(A, isz)
     n, m = A.shape
     m_pad = pad_to(m)
+    memo = getattr(A, "_saena_colpanel_builders", None)
+    builders = memo[1] if (memo is not None
+                           and memo[0] == (A.shape, A.nnz, isz)) else None
     built, starts, widths = [], [], []
-    for c0, p in parts:
-        _, b = _pick_gather(p, dtype, 768 * 1024 * 1024, 1 << 62)
+    for i, (c0, p) in enumerate(parts):
+        if builders is not None:
+            b = builders[i]
+        else:
+            _, b = _pick_gather(p, dtype, 768 * 1024 * 1024, 1024)
         if b is None:
             b = partial(ell_from_csr, width_quantile=0.98)
         built.append(b(p, dtype=dtype, smooth_dtype=smooth_dtype))
@@ -703,22 +714,49 @@ def colpanels_from_csr(A: sp.spmatrix, dtype=jnp.float32,
     return mk([b for b, _ in built]), mk([s for _, s in built])
 
 
+def _builder_bytes(p, dtype, builder) -> int:
+    """Device-footprint estimate for a panel under a chosen builder."""
+    from saena_tpu.ops.pallas_strip8_spmv import (
+        strip8_bytes_estimate, strip8_from_csr,
+        strip8_panels_bytes_estimate, strip8_panels_from_csr)
+    from saena_tpu.ops.pallas_strip_spmv import (
+        strip_bytes_estimate, strip_from_csr)
+
+    if builder is bsr_from_csr:
+        return bsr_bytes_estimate(p, dtype)
+    if builder is strip_from_csr:
+        return strip_bytes_estimate(p, dtype)
+    if builder is strip8_from_csr:
+        return strip8_bytes_estimate(p, dtype)
+    if builder is strip8_panels_from_csr:
+        return strip8_panels_bytes_estimate(p, dtype)
+    return 0
+
+
 def _colpanel_pick(A, dtype, max_bytes, max_bytes_per_nnz):
-    """(time, builder) for the column-panelled candidate, or (inf, None)."""
+    """(time, builder) for the column-panelled candidate, or (inf, None).
+    Per-panel builder choices are memoized on the matrix so
+    colpanels_from_csr builds EXACTLY what was estimated (ADVICE r3)."""
     isz = jnp.dtype(dtype).itemsize
     parts = _colpanel_parts(A, isz)
     if parts is None or len(parts) < 2:
         return float("inf"), None
     total_t, total_b = 0.0, 0
+    builders = []
     for _, p in parts:
         t, b = _pick_gather(p, dtype, max_bytes, max_bytes_per_nnz)
         if b is None:
             return float("inf"), None
         total_t += t + 2e-6          # per-extra-call launch overhead
-        total_b += bsr_bytes_estimate(p, dtype) if b is bsr_from_csr else 0
+        total_b += _builder_bytes(p, dtype, b)
+        builders.append(b)
     cap = min(max_bytes, max_bytes_per_nnz * max(1, A.nnz))
     if total_b > cap:
         return float("inf"), None
+    try:
+        A._saena_colpanel_builders = ((A.shape, A.nnz, isz), tuple(builders))
+    except AttributeError:
+        pass
     return total_t, colpanels_from_csr
 
 

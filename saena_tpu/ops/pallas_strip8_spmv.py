@@ -242,6 +242,12 @@ def _plan8(A: sp.spmatrix):
     tok = getattr(A, "_saena_strip8_plan", None)
     if tok is not None and tok[0] == key:
         return tok[1]
+    # read the panel hint BEFORE the sort-copy: A.copy() drops attributes,
+    # and an unsorted panel silently falling back to the 6-candidate sweep
+    # could pick a general-mode plan past the SMEM budget validated by
+    # strip8_panel_slices (ADVICE r3)
+    hint = getattr(A, "_saena_strip8_hint", None)
+    orig = A
     if not A.has_sorted_indices:
         A = A.copy()
         A.sort_indices()
@@ -249,7 +255,6 @@ def _plan8(A: sp.spmatrix):
     coo = A.tocoo()
     best = None
     best_cost = None
-    hint = getattr(A, "_saena_strip8_hint", None)
     cands = ([(hint[0], hint[1],
                _COST_INTERVAL if hint[1] == "interval" else _COST_GENERAL)]
              if hint is not None else
@@ -265,7 +270,7 @@ def _plan8(A: sp.spmatrix):
             best, best_cost = (coo, p), cost
     res = best
     try:
-        A._saena_strip8_plan = (key, res)
+        orig._saena_strip8_plan = (key, res)   # memo on the CALLER's matrix
     except AttributeError:
         pass
     return res
@@ -400,13 +405,15 @@ def strip8_panel_slices(A: sp.spmatrix, dtype=jnp.float32,
     space (x is the VMEM side and is shared across panel calls). Memoized
     on the matrix object like _plan8. None if panelling doesn't help."""
     A = A.tocsr()
-    key = (A.shape, A.nnz, smem_budget)
+    itemsize = max(4, jnp.dtype(dtype).itemsize)
+    # itemsize is in the key: an f64 probe must not poison the cached
+    # decomposition for a later f32 probe (the 4 MB x-VMEM gate differs)
+    key = (A.shape, A.nnz, smem_budget, itemsize)
     tok = getattr(A, "_saena_strip8_panels", None)
     if tok is not None and tok[0] == key:
         return tok[1]
     res = None
     n, m = A.shape
-    itemsize = max(4, jnp.dtype(dtype).itemsize)
     full = _plan8(A) if pad_to(m) * itemsize < 4 * 1024 * 1024 else None
     if full is not None:
         # panel feasibility straight from the FULL plan: tiles are per
