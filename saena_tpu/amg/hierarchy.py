@@ -271,27 +271,42 @@ def coarsen_tail(A: sp.csr_matrix, P, R, Ac, agg, lvl: int, opts: Options):
         # block formats stay compact — a setup-time re-numbering exactly
         # like the reference's repartition freedom. Grid-ordered operators
         # (stencil aggregates) are often already better than the RCM band,
-        # so keep whichever ordering yields the smaller block footprint.
-        from saena_tpu.ops.formats import bsr_bytes_estimate, rcm_permutation
+        # so keep whichever ordering yields the smaller block footprint —
+        # decided on the PERMUTED COORDINATE pattern so the losing (common)
+        # case never pays the two fancy-index CSR permutes.
+        from saena_tpu.ops.formats import (
+            bsr_block_width, bsr_bytes_estimate, rcm_permutation)
 
         perm = rcm_permutation(Ac)
-        Ac_p = Ac[perm][:, perm].tocsr()
-        if bsr_bytes_estimate(Ac_p) < bsr_bytes_estimate(Ac):
-            Ac = Ac_p
+        iperm = np.empty_like(perm)
+        iperm[perm] = np.arange(perm.size)
+        coo = Ac.tocoo()
+        n_br, W_p = bsr_block_width(iperm[coo.row], iperm[coo.col], Ac.shape)
+        if n_br * W_p * 1024 * 4 < bsr_bytes_estimate(Ac):
+            Ac = Ac[perm][:, perm].tocsr()
             Ac.sort_indices()
+            Ac._saena_bsr_geom = ((Ac.shape, Ac.nnz), (n_br, W_p))
             P = P[:, perm].tocsr()
             R = R[perm].tocsr()
-            iperm = np.empty_like(perm)
-            iperm[perm] = np.arange(perm.size)
             agg = iperm[agg]
     # structural (fused) device transfers need R = P^T to decompose through
     # a SYMMETRIC A (ops/transfers.py); sparsified hierarchies break it
     struct = None
+    sym = None
     if opts.structural_transfers and opts.sample_sz_percent >= 1.0:
         from saena_tpu.ops.transfers import is_symmetric
         from saena_tpu.amg.prolongation import smoothing_diag
-        if is_symmetric(A):
+        sym = is_symmetric(A)
+        if sym:
             struct = (agg, smoothing_diag(A, opts.Pomega, opts.PSmoother))
+    if sym and opts.sample_sz_percent >= 1.0:
+        # Galerkin with R = P^T preserves symmetry to roundoff (well under
+        # is_symmetric's 1e-12 rtol); pre-seeding the flag saves the
+        # transpose-compare on every coarse level
+        try:
+            Ac._saena_symmetric = ((Ac.shape, Ac.nnz), True)
+        except AttributeError:
+            pass
     return P, R, Ac, agg, struct
 
 
@@ -313,6 +328,9 @@ def setup(
     same (A, lvl, opts) -> (P, R, Ac, last, theta, struct)|None contract —
     the shard-parallel setup (parallel/dist_setup.py) plugs in here.
     """
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
     opts = opts or Options()
     dtype = dtype or default_dtype()
     low_dtype = jnp.dtype(opts.low_dtype)
@@ -343,48 +361,78 @@ def setup(
         A = (D @ A @ D).tocsr()
         inv_sq_diag = isd
 
-    # ---- host coarsening loop ----
+    # ---- host coarsening loop, with eig estimation OVERLAPPED ----
+    # Each level's lambda_max(D^-1 A) is independent host work; as soon as
+    # a level is known to be non-coarsest (its coarse level exists) its
+    # Lanczos run is submitted to a background thread, hiding the eig cost
+    # behind the Galerkin products of deeper levels and behind devicify's
+    # device transfers. Values are bitwise-identical to the serial order.
+    exe = ThreadPoolExecutor(max_workers=_setup_workers())
+    eig_futs: dict = {}
+
+    def _submit_prior_eig(csr_levels):
+        l = len(csr_levels) - 2
+        if (l >= 0 and l not in eig_futs and opts.smoother == "chebyshev"
+                and not (l == 0 and opts.eig > 0)):
+            eig_futs[l] = exe.submit(eig_max_invdiag_host, csr_levels[l])
+
     csr_levels = [A]
     Ps, Rs = [], []
     thetas, kinds, structs = [], [], []
 
-    if p_levels:
-        for P in p_levels:
+    try:
+        if p_levels:
+            for P in p_levels:
+                Acur = csr_levels[-1]
+                R = restriction(P)
+                Ac = galerkin_product(R, Acur, P)
+                Ps.append(P)
+                Rs.append(R)
+                csr_levels.append(Ac)
+                thetas.append(None)
+                kinds.append("p")
+                structs.append(None)
+                _submit_prior_eig(csr_levels)
+
+        while len(csr_levels) - 1 < opts.max_level:
             Acur = csr_levels[-1]
-            R = restriction(P)
-            Ac = galerkin_product(R, Acur, P)
+            lvl = len(csr_levels) - 1
+            if opts.dynamic_levels and \
+                    Acur.shape[0] <= opts.least_row_threshold:
+                break
+            out = (coarsen_fn or coarsen_csr)(Acur, lvl, opts)
+            if out is None:
+                break
+            P, R, Ac, last, theta, struct = out
             Ps.append(P)
             Rs.append(R)
             csr_levels.append(Ac)
-            thetas.append(None)
-            kinds.append("p")
-            structs.append(None)
+            thetas.append(theta)
+            kinds.append("h")
+            structs.append(struct)
+            _submit_prior_eig(csr_levels)
+            if last:
+                break
 
-    while len(csr_levels) - 1 < opts.max_level:
-        Acur = csr_levels[-1]
-        lvl = len(csr_levels) - 1
-        if opts.dynamic_levels and Acur.shape[0] <= opts.least_row_threshold:
-            break
-        out = (coarsen_fn or coarsen_csr)(Acur, lvl, opts)
-        if out is None:
-            break
-        P, R, Ac, last, theta, struct = out
-        Ps.append(P)
-        Rs.append(R)
-        csr_levels.append(Ac)
-        thetas.append(theta)
-        kinds.append("h")
-        structs.append(struct)
-        if last:
-            break
-
-    hierarchy, info = devicify(
-        csr_levels, Ps, Rs, opts, dtype=dtype, use_dense=use_dense,
-        inv_sq_diag=inv_sq_diag, structs=structs,
-    )
+        hierarchy, info = devicify(
+            csr_levels, Ps, Rs, opts, dtype=dtype, use_dense=use_dense,
+            inv_sq_diag=inv_sq_diag, structs=structs,
+            eig_futures=eig_futs, executor=exe,
+        )
+    finally:
+        exe.shutdown(wait=False)
     info.thetas = thetas + [None]
     info.coarsen_kinds = kinds + ["-"]
     return hierarchy, info
+
+
+def _setup_workers() -> int:
+    # exactly the core count: the per-level build tasks are CPU-bound
+    # planners with embedded GIL-releasing upload RPCs; oversubscribing
+    # thrashes (measured 14.7 s at 6 workers vs 11.3 s at 2 on 2 cores)
+    import os
+
+    return max(2, min(4, os.cpu_count() or 2))
 
 
 def devicify(
@@ -396,21 +444,31 @@ def devicify(
     use_dense: bool = False,
     inv_sq_diag=None,
     structs=None,
+    eig_futures=None,
+    executor=None,
 ) -> tuple[Hierarchy, SetupInfo]:
     """Convert a host CSR hierarchy into device Level pytrees. Split out of
     setup() so the lazy-update path (update1/2/3) can re-devicify after a
     values-only refresh without re-aggregating (lazy updates pass no
     ``structs``: a refreshed A breaks the fused-transfer identity, so they
-    get direct P/R strips)."""
+    get direct P/R strips).
+
+    ``eig_futures``: per-level futures of eig_max_invdiag_host submitted by
+    setup() during coarsening (the overlapped path); missing levels compute
+    inline. ``executor``: thread pool for per-level format building — each
+    level's planning + device transfers are independent, and the transfer
+    RPCs release the GIL, so levels pipeline; results are assembled in
+    level order and are bitwise-identical to the serial build."""
     dtype = dtype or default_dtype()
     low_dtype = jnp.dtype(opts.low_dtype)
     n_lv = len(csr_levels)
 
     # ---- device conversion ----
-    levels = []
     info = SetupInfo([], [], [], [], [], [None] * n_lv, ["-"] * n_lv,
                      csr_levels=list(csr_levels), Ps=list(Ps), Rs=list(Rs))
-    for l, Acsr in enumerate(csr_levels):
+
+    def _build_level(l):
+        Acsr = csr_levels[l]
         dt = low_dtype if l >= opts.float_level else dtype
         is_coarsest = l == n_lv - 1
         # reduced-precision smoother twin built at conversion time from the
@@ -452,6 +510,8 @@ def devicify(
         if opts.smoother == "chebyshev" and (not is_coarsest) and n_lv > 1:
             if l == 0 and opts.eig > 0:
                 eig = float(opts.eig)    # user-provided (ref set_eig)
+            elif eig_futures is not None and l in eig_futures:
+                eig = float(eig_futures[l].result())
             else:
                 eig = float(eig_max_invdiag_host(Acsr))
 
@@ -475,19 +535,27 @@ def devicify(
                 P_dev = _transfer_from_csr(Ps[l], dt_next)
                 R_dev = _transfer_from_csr(Rs[l], dt_next)
 
-        levels.append(
-            # inv_diag carries the VECTOR dtype: smoother/residual arithmetic
-            # stays full-precision while A/P/R matvecs run reduced (ref
-            # float_level semantics — only vSend_f/matvec buffers are float)
-            Level(A=Adev, inv_diag=to_device(inv_diag, dtype),
-                  P=P_dev, R=R_dev, A_smooth=A_smooth, n=n, lvl=l,
-                  eig_max=eig)
-        )
+        # inv_diag carries the VECTOR dtype: smoother/residual arithmetic
+        # stays full-precision while A/P/R matvecs run reduced (ref
+        # float_level semantics — only vSend_f/matvec buffers are float)
+        level = Level(A=Adev, inv_diag=to_device(inv_diag, dtype),
+                      P=P_dev, R=R_dev, A_smooth=A_smooth, n=n, lvl=l,
+                      eig_max=eig)
+        return level, (n, int(Acsr.nnz), Acsr.nnz / max(1, n * n),
+                       type(Adev).__name__, str(jnp.dtype(dt)))
+
+    if executor is not None and n_lv > 1:
+        built = list(executor.map(_build_level, range(n_lv)))
+    else:
+        built = [_build_level(l) for l in range(n_lv)]
+    levels = []
+    for level, (n, nnz, dens, fmt, dts) in built:
+        levels.append(level)
         info.sizes.append(n)
-        info.nnzs.append(int(Acsr.nnz))
-        info.densities.append(Acsr.nnz / max(1, n * n))
-        info.formats.append(type(Adev).__name__)
-        info.dtypes.append(str(jnp.dtype(dt)))
+        info.nnzs.append(nnz)
+        info.densities.append(dens)
+        info.formats.append(fmt)
+        info.dtypes.append(dts)
 
     # ---- coarsest factorization (cached across solves) ----
     coarse_lu = None

@@ -47,6 +47,21 @@ def to_device(arr, dtype):
     import numpy as _np
     return jnp.asarray(_np.asarray(arr, dtype=jnp.dtype(dtype)))
 
+
+def scatter_value_dtype(dtype, smooth_dtype=None):
+    """numpy dtype for a converter's value-scatter buffer. When no reduced
+    twin is requested and the target is a native numpy float, scattering
+    f64 COO data straight into the target dtype rounds each element exactly
+    like the build-f64-then-cast path — while skipping the f64 master
+    allocation and the cast copy (the big mid-level conversions were ~35%
+    allocation + cast)."""
+    if smooth_dtype is not None:
+        return np.float64
+    d = jnp.dtype(dtype)
+    if d == jnp.float32 or d == jnp.float64:
+        return d
+    return np.float64
+
 def _register(cls):
     data = [f.name for f in dataclasses.fields(cls) if not f.metadata.get("static")]
     meta = [f.name for f in dataclasses.fields(cls) if f.metadata.get("static")]
@@ -431,7 +446,8 @@ def bsr_from_csr(A: sp.spmatrix, dtype=jnp.float32,
     starts = np.cumsum(counts) - counts
     slot[order] = np.arange(uniq.size) - starts[u_br[order]]
 
-    blocks = np.zeros((n_br, W, 8, 128), dtype=np.float64)
+    blocks = np.zeros((n_br, W, 8, 128),
+                      dtype=scatter_value_dtype(dtype, smooth_dtype))
     bcols = np.zeros((n_br, W), dtype=np.int32)
     bcols[u_br, slot] = u_bc
     blocks[u_br[inv], slot[inv], coo.row % 8, coo.col % 128] = coo.data
@@ -445,21 +461,41 @@ def bsr_from_csr(A: sp.spmatrix, dtype=jnp.float32,
     return M, dataclasses.replace(M, blocks=to_device(blocks, smooth_dtype))
 
 
+def bsr_block_width(rows: np.ndarray, cols: np.ndarray,
+                    shape: tuple) -> tuple[int, int]:
+    """(n_br, W): block-rows and max blocks per block-row of the (8, 128)
+    blocking of the given coordinate pattern — the BSR footprint drivers.
+    Standalone so the RCM decision can evaluate a PERMUTED pattern without
+    materializing the permuted CSR."""
+    n_br = pad_to(shape[0]) // 8
+    n_bc = pad_to(shape[1]) // 128
+    if rows.size == 0:
+        return n_br, 1
+    pat = sp.csr_matrix(
+        (np.ones(rows.size, dtype=np.int8),
+         (rows // 8, cols // 128)), shape=(n_br, n_bc))
+    W = max(1, int(np.diff(pat.indptr).max()))
+    return n_br, W
+
+
 def bsr_bytes_estimate(A: sp.spmatrix, dtype=jnp.float32) -> int:
     """Storage the BSR conversion would need (for format selection).
     Block dedup via coo_tocsr's counting sort — O(nnz), not the
-    O(nnz log nnz) np.unique sort (this runs twice per level in the RCM
-    footprint comparison)."""
+    O(nnz log nnz) np.unique sort. The (n_br, W) geometry is memoized on
+    the matrix object: setup probes the same CSR from format selection,
+    the RCM compare, and the picker dozens of times per level."""
     A = A.tocsr()
-    coo = A.tocoo()
-    n_br = pad_to(A.shape[0]) // 8
-    n_bc = pad_to(A.shape[1]) // 128
-    if coo.row.size == 0:
-        return n_br * 8 * 128 * jnp.dtype(dtype).itemsize
-    pat = sp.csr_matrix(
-        (np.ones(coo.row.size, dtype=np.int8),
-         (coo.row // 8, coo.col // 128)), shape=(n_br, n_bc))
-    W = max(1, int(np.diff(pat.indptr).max()))
+    key = (A.shape, A.nnz)
+    tok = getattr(A, "_saena_bsr_geom", None)
+    if tok is not None and tok[0] == key:
+        n_br, W = tok[1]
+    else:
+        coo = A.tocoo()
+        n_br, W = bsr_block_width(coo.row, coo.col, A.shape)
+        try:
+            A._saena_bsr_geom = (key, (n_br, W))
+        except AttributeError:
+            pass
     return n_br * W * 8 * 128 * jnp.dtype(dtype).itemsize
 
 

@@ -336,8 +336,10 @@ def strip8_from_csr(A: sp.spmatrix, dtype=jnp.float32,
     n_tiles = tile_strips.shape[0]
     n_tiles_pad = max(GROUP8, -(-n_tiles // GROUP8) * GROUP8)
 
+    from saena_tpu.ops.formats import scatter_value_dtype
     idx = np.zeros((n_tiles_pad, 8, 128), dtype=np.int8)
-    vals = np.zeros((n_tiles_pad, 8, 128), dtype=np.float64)
+    vals = np.zeros((n_tiles_pad, 8, 128),
+                    dtype=scatter_value_dtype(dtype, smooth_dtype))
     strips = np.zeros(
         n_tiles_pad if mode == "interval" else n_tiles_pad * 8,
         dtype=np.int32)

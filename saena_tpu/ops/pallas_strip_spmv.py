@@ -366,8 +366,10 @@ def strip_from_csr(A: sp.spmatrix, dtype=jnp.float32,
     within = np.arange(pair_rb.size) - (np.cumsum(counts) - counts)[pair_sb]
     pos = offsets[pair_sb] + within
 
+    from saena_tpu.ops.formats import scatter_value_dtype
     idx = np.zeros((n_pairs, 8, 128), dtype=np.int8)
-    vals = np.zeros((n_pairs, 8, 128), dtype=np.float64)
+    vals = np.zeros((n_pairs, 8, 128),
+                    dtype=scatter_value_dtype(dtype, smooth_dtype))
     strip_of = np.zeros(n_pairs, dtype=np.int32)
     rb_local = np.zeros(n_pairs, dtype=np.int32)
     if pair_rb.size:

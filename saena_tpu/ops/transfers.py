@@ -87,12 +87,26 @@ class SmoothedR:
 
 
 def is_symmetric(A: sp.spmatrix, rtol: float = 1e-12) -> bool:
-    """Numerical symmetry check (host, setup-time)."""
+    """Numerical symmetry check (host, setup-time). Memoized on the matrix
+    object; coarsen_tail pre-sets the flag on Galerkin products of
+    symmetric operators (R = P^T preserves symmetry to roundoff), so the
+    O(nnz log nnz) transpose-compare runs once per hierarchy, not per
+    level."""
+    key = (A.shape, A.nnz)
+    tok = getattr(A, "_saena_symmetric", None)
+    if tok is not None and tok[0] == key:
+        return tok[1]
     D = (A - A.T).tocoo()
     if D.nnz == 0:
-        return True
-    scale = np.abs(A.data).max() if A.nnz else 1.0
-    return bool(np.abs(D.data).max() <= rtol * scale)
+        sym = True
+    else:
+        scale = np.abs(A.data).max() if A.nnz else 1.0
+        sym = bool(np.abs(D.data).max() <= rtol * scale)
+    try:
+        A._saena_symmetric = (key, sym)
+    except AttributeError:
+        pass
+    return sym
 
 
 def device_bytes(M) -> int:
