@@ -74,9 +74,20 @@ def main():
     A, _, _, _, rhs = remove_boundary_nodes(A0, rhs0)
     n = A.shape[0]
 
+    # backend warmup OUTSIDE the setup timer: the first device op pays the
+    # axon/XLA client handshake (~2-3 s) — library/backend init, not
+    # per-matrix setup (the reference's Setup timer equally excludes
+    # MPI_Init and binary load, experiments/Poisson.cpp:187-200)
+    float(jnp.sum(jnp.zeros(8, dtype=dtype)))
+
+    # default config runs the SHARD-PARALLEL setup (Options default
+    # setup_shards=-1 routes here through the API too) and reports its
+    # metered wire volume
+    from saena_tpu.parallel.dist_setup import dist_setup
+
     opts = Options()
     t0 = time.perf_counter()
-    hier, info = H.setup(A, opts, dtype=dtype)
+    hier, info = dist_setup(A, opts, dtype=dtype)
     setup_s = time.perf_counter() - t0
     params = H.SolveParams.from_options(opts)
 
@@ -256,6 +267,19 @@ def main():
     except Exception as e:            # scale mode must never break the bench
         scale = {"error": repr(e)}
 
+    # ---- kernel-time model self-check: modeled (the constants format
+    # selection ranks with) vs measured per-level matvec times
+    mcheck = []
+    try:
+        from saena_tpu.profiling import model_check
+
+        mcheck = model_check(hier)
+        for row in mcheck:
+            if row["ratio"] > 1.5 or row["ratio"] < 1 / 1.5:
+                row["warn"] = "model drift >1.5x — re-measure the constant"
+    except Exception as e:
+        mcheck = [{"error": repr(e)}]
+
     hbm_bw = 819e9  # v5e
     roofline = hbm_bw / 12.0
     vs_baseline = nnz_per_s / roofline
@@ -281,6 +305,11 @@ def main():
             "pcg_solve_ms_device": round(solve_dev_s * 1e3, 2),
             "rpc_floor_ms": round(rpc_s * 1e3, 2),
             "setup_s": round(setup_s, 2),
+            "setup_shards": getattr(info, "n_shards", 0),
+            "setup_wire_mb": round(
+                getattr(info.comm, "total_bytes", 0) / 1e6, 3)
+            if getattr(info, "comm", None) is not None else None,
+            "model_check": mcheck,
             "levels": info.sizes,
             "lean": lean,
             "scale": scale,

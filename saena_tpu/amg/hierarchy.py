@@ -187,15 +187,50 @@ class SetupInfo:
     Ps: list = dataclasses.field(default_factory=list, repr=False)
     Rs: list = dataclasses.field(default_factory=list, repr=False)
     comm: object = None   # CommMeter when built by parallel/dist_setup.py
+    n_shards: int = 0     # shard count of the setup that built this (dist)
 
-    def table(self) -> str:
+    def shard_stats(self, n_shards: int = 0, splits=None) -> list:
+        """Per-level per-shard (M_min, M_avg, M_max, nnz_min, nnz_avg,
+        nnz_max) under the nnz-balanced 1-D row split — the fields the
+        reference's print_lev_info reports across ranks
+        (saena_object.cpp:111-145). ``splits``: optional explicit per-level
+        splits (e.g. a sharded hierarchy's actual device splits); otherwise
+        the canonical nnz-balanced split at ``n_shards`` (default: the
+        shard count the setup ran with, or 1)."""
+        from saena_tpu.parallel.partition import nnz_balanced_split
+
+        d = n_shards or self.n_shards or 1
+        out = []
+        for l, A in enumerate(self.csr_levels):
+            split = (np.asarray(splits[l]) if splits is not None
+                     else nnz_balanced_split(A.tocsr(), d))
+            M = np.diff(split)
+            csum = np.concatenate([[0], np.cumsum(np.diff(A.tocsr().indptr))])
+            nnz = csum[split[1:]] - csum[split[:-1]]
+            out.append((int(M.min()), int(M.mean()), int(M.max()),
+                        int(nnz.min()), int(nnz.mean()), int(nnz.max())))
+        return out
+
+    def table(self, shards: int = 0) -> str:
+        """Level summary; with ``shards`` (or a dist-built info), adds the
+        reference's per-rank M/nnz min-avg-max columns (print_lev_info
+        parity, saena_object.cpp:111-145)."""
+        d = shards or self.n_shards
         lines = ["lvl       rows          nnz    density  format    dtype     coarsen"]
+        stats = self.shard_stats(d) if d > 1 else None
+        if stats is not None:
+            lines[0] += "  M(min,avg,max)            nnz(min,avg,max)"
         for i in range(len(self.sizes)):
-            lines.append(
+            row = (
                 f"{i:<3} {self.sizes[i]:>10} {self.nnzs[i]:>12}  "
                 f"{self.densities[i]:>9.2e}  {self.formats[i]:<8} "
                 f"{self.dtypes[i]:<9} {self.coarsen_kinds[i]}"
             )
+            if stats is not None:
+                m0, m1, m2, z0, z1, z2 = stats[i]
+                row += (f"  ({m0},{m1},{m2})" .ljust(26)
+                        + f"({z0},{z1},{z2})")
+            lines.append(row)
         return "\n".join(lines)
 
 
@@ -369,16 +404,25 @@ def setup(
     # device transfers. Values are bitwise-identical to the serial order.
     exe = ThreadPoolExecutor(max_workers=_setup_workers())
     eig_futs: dict = {}
-
-    def _submit_prior_eig(csr_levels):
-        l = len(csr_levels) - 2
-        if (l >= 0 and l not in eig_futs and opts.smoother == "chebyshev"
-                and not (l == 0 and opts.eig > 0)):
-            eig_futs[l] = exe.submit(eig_max_invdiag_host, csr_levels[l])
+    build_futs: dict = {}
 
     csr_levels = [A]
     Ps, Rs = [], []
     thetas, kinds, structs = [], [], []
+
+    def _submit_prior(csr_levels):
+        # level l = len-2 just became non-coarsest: its eig Lanczos can run
+        # now, behind the coarsening of deeper levels. Only eig is eager —
+        # submitting the full device build here too was measured SLOWER
+        # (14.8 vs 11.8 s): the CPU-bound planners fight the Galerkin
+        # OpenMP team for the cores, stretching the critical path, while
+        # eig is one mostly-BLAS1 thread that fills scheduling gaps.
+        l = len(csr_levels) - 2
+        if l < 0 or l in eig_futs:
+            return
+        if (opts.smoother == "chebyshev"
+                and not (l == 0 and opts.eig > 0)):
+            eig_futs[l] = exe.submit(eig_max_invdiag_host, csr_levels[l])
 
     try:
         if p_levels:
@@ -392,7 +436,7 @@ def setup(
                 thetas.append(None)
                 kinds.append("p")
                 structs.append(None)
-                _submit_prior_eig(csr_levels)
+                _submit_prior(csr_levels)
 
         while len(csr_levels) - 1 < opts.max_level:
             Acur = csr_levels[-1]
@@ -410,14 +454,14 @@ def setup(
             thetas.append(theta)
             kinds.append("h")
             structs.append(struct)
-            _submit_prior_eig(csr_levels)
+            _submit_prior(csr_levels)
             if last:
                 break
 
         hierarchy, info = devicify(
             csr_levels, Ps, Rs, opts, dtype=dtype, use_dense=use_dense,
             inv_sq_diag=inv_sq_diag, structs=structs,
-            eig_futures=eig_futs, executor=exe,
+            eig_futures=eig_futs, executor=exe, build_futures=build_futs,
         )
     finally:
         exe.shutdown(wait=False)
@@ -446,6 +490,7 @@ def devicify(
     structs=None,
     eig_futures=None,
     executor=None,
+    build_futures=None,
 ) -> tuple[Hierarchy, SetupInfo]:
     """Convert a host CSR hierarchy into device Level pytrees. Split out of
     setup() so the lazy-update path (update1/2/3) can re-devicify after a
@@ -457,10 +502,11 @@ def devicify(
     setup() during coarsening (the overlapped path); missing levels compute
     inline. ``executor``: thread pool for per-level format building — each
     level's planning + device transfers are independent, and the transfer
-    RPCs release the GIL, so levels pipeline; results are assembled in
+    RPCs release the GIL, so levels pipeline. ``build_futures``: results of
+    _level_task already submitted by setup() DURING coarsening (fine levels
+    are final the moment their coarse level exists). All paths assemble in
     level order and are bitwise-identical to the serial build."""
     dtype = dtype or default_dtype()
-    low_dtype = jnp.dtype(opts.low_dtype)
     n_lv = len(csr_levels)
 
     # ---- device conversion ----
@@ -468,81 +514,10 @@ def devicify(
                      csr_levels=list(csr_levels), Ps=list(Ps), Rs=list(Rs))
 
     def _build_level(l):
-        Acsr = csr_levels[l]
-        dt = low_dtype if l >= opts.float_level else dtype
-        is_coarsest = l == n_lv - 1
-        # reduced-precision smoother twin built at conversion time from the
-        # same host arrays — a device-side astype would pay one remote XLA
-        # compile per level (bf16 DIA twins stream half the diagonal bytes
-        # through the same Pallas kernel; unsupported dtypes keep f32)
-        sm_dt = None
-        if opts.smooth_dtype and not is_coarsest:
-            sm_dt = jnp.dtype(opts.smooth_dtype)
-            if sm_dt == jnp.dtype(dt):
-                sm_dt = None
-        A_smooth = None
-        if is_coarsest and opts.direct_solver == "LU":
-            Adev = dense_from_csr(Acsr, dtype=dt, unit_diag_pad=True)
-        elif sm_dt is not None:
-            Adev, A_smooth = device_matrix_from_csr(
-                Acsr,
-                dtype=dt,
-                dense_thre=opts.dense_thre,
-                dense_sz_thre=opts.dense_sz_thre,
-                switch_to_dense=opts.switch_to_dense and (l > 0 or use_dense),
-                smooth_dtype=sm_dt,
-            )
-        else:
-            Adev = device_matrix_from_csr(
-                Acsr,
-                dtype=dt,
-                dense_thre=opts.dense_thre,
-                dense_sz_thre=opts.dense_sz_thre,
-                switch_to_dense=opts.switch_to_dense and (l > 0 or use_dense),
-            )
-        n = Acsr.shape[0]
-        n_pad = pad_to(n)
-        diag = Acsr.diagonal()
-        inv_diag = np.zeros(n_pad)
-        inv_diag[:n] = np.where(diag != 0, 1.0 / np.where(diag == 0, 1.0, diag), 0.0)
-
-        eig = None
-        if opts.smoother == "chebyshev" and (not is_coarsest) and n_lv > 1:
-            if l == 0 and opts.eig > 0:
-                eig = float(opts.eig)    # user-provided (ref set_eig)
-            elif eig_futures is not None and l in eig_futures:
-                eig = float(eig_futures[l].result())
-            else:
-                eig = float(eig_max_invdiag_host(Acsr))
-
-        P_dev = R_dev = None
-        if l < n_lv - 1:
-            dt_next = low_dtype if (l + 1) >= opts.float_level else dtype
-            struct = structs[l] if structs else None
-            if struct is not None and jax.default_backend() != "cpu":
-                from saena_tpu.ops.formats import gather_time_estimate
-                from saena_tpu.ops.transfers import (
-                    build_structural, structural_estimate)
-                agg, wq = struct
-                n_c = csr_levels[l + 1].shape[0]
-                est_s = structural_estimate(agg, n_c, Adev, dt)
-                est_d = (gather_time_estimate(Ps[l], dt_next)
-                         + gather_time_estimate(Rs[l], dt_next))
-                if est_s < est_d and np.isfinite(est_s):
-                    P_dev, R_dev = build_structural(
-                        agg, n_c, wq, Adev, int(Ps[l].nnz), dt, dt_next)
-            if P_dev is None:
-                P_dev = _transfer_from_csr(Ps[l], dt_next)
-                R_dev = _transfer_from_csr(Rs[l], dt_next)
-
-        # inv_diag carries the VECTOR dtype: smoother/residual arithmetic
-        # stays full-precision while A/P/R matvecs run reduced (ref
-        # float_level semantics — only vSend_f/matvec buffers are float)
-        level = Level(A=Adev, inv_diag=to_device(inv_diag, dtype),
-                      P=P_dev, R=R_dev, A_smooth=A_smooth, n=n, lvl=l,
-                      eig_max=eig)
-        return level, (n, int(Acsr.nnz), Acsr.nnz / max(1, n * n),
-                       type(Adev).__name__, str(jnp.dtype(dt)))
+        if build_futures is not None and l in build_futures:
+            return build_futures[l].result()
+        return _level_task(l, l == n_lv - 1, csr_levels, Ps, Rs, structs,
+                           opts, dtype, use_dense, eig_futures)
 
     if executor is not None and n_lv > 1:
         built = list(executor.map(_build_level, range(n_lv)))
@@ -607,3 +582,98 @@ def devicify(
             dtype=dtype),
     )
     return hierarchy, info
+
+
+def _level_task(l, is_coarsest, csr_levels, Ps, Rs, structs, opts,
+                dtype, use_dense, eig_futures):
+    """Build ONE level's device objects (A format, inv_diag, eig, P/R).
+    Runs on setup's worker threads — possibly WHILE deeper levels are still
+    coarsening: level l is final the moment level l+1 exists, and the lists
+    are append-only, so reading [l] and [l+1] is safe. Bitwise-identical to
+    the serial build."""
+    low_dtype = jnp.dtype(opts.low_dtype)
+    Acsr = csr_levels[l]
+    dt = low_dtype if l >= opts.float_level else dtype
+    # reduced-precision smoother twin built at conversion time from the
+    # same host arrays — a device-side astype would pay one remote XLA
+    # compile per level (bf16 DIA twins stream half the diagonal bytes
+    # through the same Pallas kernel; unsupported dtypes keep f32)
+    sm_dt = None
+    if opts.smooth_dtype and not is_coarsest:
+        sm_dt = jnp.dtype(opts.smooth_dtype)
+        if sm_dt == jnp.dtype(dt):
+            sm_dt = None
+    A_smooth = None
+    if is_coarsest and opts.direct_solver == "LU":
+        Adev = dense_from_csr(Acsr, dtype=dt, unit_diag_pad=True)
+    elif sm_dt is not None:
+        Adev, A_smooth = device_matrix_from_csr(
+            Acsr,
+            dtype=dt,
+            dense_thre=opts.dense_thre,
+            dense_sz_thre=opts.dense_sz_thre,
+            switch_to_dense=opts.switch_to_dense and (l > 0 or use_dense),
+            smooth_dtype=sm_dt,
+        )
+    else:
+        Adev = device_matrix_from_csr(
+            Acsr,
+            dtype=dt,
+            dense_thre=opts.dense_thre,
+            dense_sz_thre=opts.dense_sz_thre,
+            switch_to_dense=opts.switch_to_dense and (l > 0 or use_dense),
+        )
+    n = Acsr.shape[0]
+    n_pad = pad_to(n)
+    diag = Acsr.diagonal()
+    inv_diag = np.zeros(n_pad)
+    inv_diag[:n] = np.where(diag != 0, 1.0 / np.where(diag == 0, 1.0, diag), 0.0)
+
+    eig = None
+    if opts.smoother == "chebyshev" and not is_coarsest:
+        if l == 0 and opts.eig > 0:
+            eig = float(opts.eig)    # user-provided (ref set_eig)
+        elif eig_futures is not None and l in eig_futures:
+            eig = float(eig_futures[l].result())
+        else:
+            eig = float(eig_max_invdiag_host(Acsr))
+
+    P_dev = R_dev = None
+    if not is_coarsest:
+        dt_next = low_dtype if (l + 1) >= opts.float_level else dtype
+        struct = structs[l] if structs else None
+        if struct is not None and jax.default_backend() != "cpu":
+            from saena_tpu.ops.formats import (
+                gather_time_estimate, gather_time_estimate_quick)
+            from saena_tpu.ops.transfers import (
+                build_structural, structural_estimate)
+            agg, wq = struct
+            n_c = csr_levels[l + 1].shape[0]
+            est_s = structural_estimate(agg, n_c, Adev, dt)
+            # cheap gate first: when the structural path beats even a 3x
+            # optimistic direct estimate, skip the exact probe — the
+            # strip8 planner walks every nonzero of P AND R only to have
+            # its answer discarded (it was ~1 s/level of the 48^3 setup)
+            est_dq = (gather_time_estimate_quick(Ps[l], dt_next)
+                      + gather_time_estimate_quick(Rs[l], dt_next))
+            if np.isfinite(est_s) and est_s < est_dq / 3.0:
+                P_dev, R_dev = build_structural(
+                    agg, n_c, wq, Adev, int(Ps[l].nnz), dt, dt_next)
+            else:
+                est_d = (gather_time_estimate(Ps[l], dt_next)
+                         + gather_time_estimate(Rs[l], dt_next))
+                if est_s < est_d and np.isfinite(est_s):
+                    P_dev, R_dev = build_structural(
+                        agg, n_c, wq, Adev, int(Ps[l].nnz), dt, dt_next)
+        if P_dev is None:
+            P_dev = _transfer_from_csr(Ps[l], dt_next)
+            R_dev = _transfer_from_csr(Rs[l], dt_next)
+
+    # inv_diag carries the VECTOR dtype: smoother/residual arithmetic
+    # stays full-precision while A/P/R matvecs run reduced (ref
+    # float_level semantics — only vSend_f/matvec buffers are float)
+    level = Level(A=Adev, inv_diag=to_device(inv_diag, dtype),
+                  P=P_dev, R=R_dev, A_smooth=A_smooth, n=n, lvl=l,
+                  eig_max=eig)
+    return level, (n, int(Acsr.nnz), Acsr.nnz / max(1, n * n),
+                   type(Adev).__name__, str(jnp.dtype(dt)))

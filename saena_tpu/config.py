@@ -92,13 +92,14 @@ class Options:
                                        # ops/bspgemm.py — FLOPs on the
                                        # accelerator, memory ∝ nonzero blocks;
                                        # the fast_mm re-design)
-    setup_shards: int = 0              # > 0 (or -1 = one per core): run the
-                                       # SHARD-PARALLEL setup (parallel/
-                                       # dist_setup.py — per-phase row-block
-                                       # tasks with metered halo exchanges,
-                                       # the reference's rank-distributed
-                                       # setup1/setup2) with a bitwise-
-                                       # identical hierarchy; 0 = serial
+    setup_shards: int = -1             # DEFAULT -1 (auto, one shard per
+                                       # core): run the SHARD-PARALLEL setup
+                                       # (parallel/dist_setup.py — per-phase
+                                       # row-block tasks with metered halo
+                                       # exchanges, the reference's rank-
+                                       # distributed setup1/setup2) with a
+                                       # bitwise-identical hierarchy; > 0
+                                       # forces a shard count; 0 = serial
 
     # ---- parallel policy (TPU-native analogs of shrink/repart) ----
     replicate_threshold: int = 5000    # coarse levels below this global size are replicated

@@ -663,6 +663,22 @@ def gather_time_estimate(A: sp.spmatrix, dtype=jnp.float32,
     return t
 
 
+def gather_time_estimate_quick(A: sp.spmatrix, dtype=jnp.float32) -> float:
+    """Cheap upper-ish gather estimate: the SAMPLED strip pick plus the
+    memoized BSR stream model, skipping strip8's full-pattern plan (the
+    strip8 planner walks every nonzero — paying it for an operator that a
+    cheaper candidate already beats is the waste this gates). Callers use
+    it only to decide whether the exact probe is worth running, with a
+    safety margin covering strip8's best observed advantage (~3x)."""
+    from saena_tpu.ops.pallas_strip_spmv import (
+        strip_supported, strip_time_estimate)
+
+    t = bsr_time_estimate(A, dtype)
+    if A.nnz >= 4096 and strip_supported(A, dtype):
+        t = min(t, strip_time_estimate(A, dtype))
+    return t
+
+
 def pick_gather_format(A: sp.spmatrix, dtype=jnp.float32,
                        max_bytes: int = 768 * 1024 * 1024,
                        max_bytes_per_nnz: int = 1024):

@@ -660,4 +660,5 @@ def dist_setup(
         hier, info = serial_setup(A, opts, dtype=dtype, use_dense=use_dense,
                                   p_levels=p_levels, coarsen_fn=fn)
     info.comm = meter
+    info.n_shards = n_shards   # enables print_lev_info-style per-shard stats
     return hier, info

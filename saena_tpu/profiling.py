@@ -96,6 +96,52 @@ def profile_matvecs(hierarchy, n_iter: int | None = None) -> list[dict]:
     return rows
 
 
+def modeled_matvec_time(M):
+    """Modeled matvec seconds for a BUILT device operator, from the SAME
+    constants format selection ranks with (STRIP_NS_PER_PAIR,
+    STRIP8_NS_PER_TILE, the BSR stream model). None for formats chosen
+    structurally rather than by these constants (DIA/dense/ELL). bench.py
+    compares this against measured per-level times so a drifted constant
+    (VERDICT r3: the 15->20 ns strip8 interval recalibration) is caught at
+    every bench run instead of after a mis-ranked format ships."""
+    from saena_tpu.ops.formats import (
+        BSR_STREAM_BPS, BSR_TIME_FACTOR, BsrMatrix, ColPanels, RowPanels)
+    from saena_tpu.ops.pallas_strip8_spmv import (
+        STRIP8_NS_PER_TILE, Strip8Matrix)
+    from saena_tpu.ops.pallas_strip_spmv import STRIP_NS_PER_PAIR, StripMatrix
+
+    if isinstance(M, StripMatrix):
+        return M.vals.shape[0] * STRIP_NS_PER_PAIR * 1e-9
+    if isinstance(M, Strip8Matrix):
+        return M.idx.shape[0] * STRIP8_NS_PER_TILE[M.mode] * 1e-9
+    if isinstance(M, BsrMatrix):
+        return float(M.blocks.nbytes) * BSR_TIME_FACTOR / BSR_STREAM_BPS
+    if isinstance(M, (RowPanels, ColPanels)):
+        parts = [modeled_matvec_time(p) for p in M.parts]
+        if any(t is None for t in parts):
+            return None
+        return sum(parts) + 2e-6 * (len(parts) - 1)
+    return None
+
+
+def model_check(hierarchy, n_iter: int | None = None) -> list[dict]:
+    """Compare modeled vs measured per-level matvec times (the kernel-time
+    model self-check). Returns rows for levels whose format has a model."""
+    rows = []
+    for lv, meas in zip(hierarchy.levels, profile_matvecs(hierarchy, n_iter)):
+        t_model = modeled_matvec_time(lv.A)
+        if t_model is None:
+            continue
+        rows.append({
+            "level": lv.lvl,
+            "format": meas["format"],
+            "modeled_us": round(t_model * 1e6, 2),
+            "measured_us": round(meas["time_us"], 2),
+            "ratio": round(meas["time_us"] / max(1e-9, t_model * 1e6), 3),
+        })
+    return rows
+
+
 def vcycle_breakdown(hierarchy, params, rhs, n_iter: int | None = None,
                      per_level: bool = False) -> dict:
     """Component times of one V-cycle, same names as print_vcycle_time.
