@@ -237,12 +237,146 @@ def solve_CG(hierarchy, rhs, params=None, tol: float = 1e-8,
     return dataclasses.replace(res, u=_finalize(res.u, hierarchy))
 
 
+@partial(jax.jit, static_argnames=("params", "max_iter", "restart",
+                                   "precondition"))
+def _gmres_device(hierarchy: Hierarchy, params: SolveParams, rhs, tol,
+                  max_iter: int, restart: int, precondition: bool):
+    """Fully-jitted restarted FGMRES (right-preconditioned by one V-cycle):
+    the Arnoldi loop, modified Gram-Schmidt, Givens rotations, and the
+    triangular solve all run on device inside lax.while_loops — ONE
+    dispatch per solve, like _pcg. On the tunneled TPU the host-driven
+    variant paid a ~26 ms value-fetch RPC per Arnoldi step (VERDICT r3);
+    this runs the same recurrence with zero mid-solve fetches.
+
+    Masked-loop trick: MGS and the Givens sweep run a fixed 0..m loop with
+    updates masked by j <= k; inactive steps subtract 0*V[j], which is an
+    exact no-op, so the arithmetic matches the host loop at the carried
+    precision. The small H/g/cs/sn systems are carried at >= f32.
+    """
+    A = hierarchy.levels[0].A
+    n = rhs.shape[0]
+    dtype = rhs.dtype
+    hdt = jnp.promote_types(dtype, jnp.float32)   # H/givens precision
+    m = restart
+    tiny = jnp.asarray(np.finfo(np.dtype(hdt)).tiny, hdt)
+
+    def M(v):
+        if precondition:
+            return vcycle(hierarchy, params, jnp.zeros_like(v), v)
+        return v
+
+    u0 = jnp.zeros_like(rhs)
+    r0 = rhs - A.matvec(u0)
+    init_res = jnp.linalg.norm(r0).astype(hdt)
+    thr = init_res * jnp.asarray(tol, hdt)
+    hist0 = jnp.full(max_iter + 1, jnp.nan, dtype=hdt)
+    hist0 = hist0.at[0].set(init_res)
+
+    def restart_cond(c):
+        u, r, res_norm, total_it, hist = c
+        return (res_norm >= thr) & (total_it < max_iter)
+
+    def restart_body(c):
+        u, r, res_norm, total_it, hist = c
+        V = jnp.zeros((m + 1, n), dtype=dtype)
+        Z = jnp.zeros((m, n), dtype=dtype)
+        H = jnp.zeros((m + 1, m), dtype=hdt)
+        g = jnp.zeros(m + 1, dtype=hdt).at[0].set(res_norm)
+        cs = jnp.zeros(m, dtype=hdt)
+        sn = jnp.zeros(m, dtype=hdt)
+        V = V.at[0].set((r / res_norm.astype(dtype)))
+
+        def arn_cond(a):
+            k, V, Z, H, g, cs, sn, rn, it, hist, brk = a
+            return (k < m) & (it < max_iter) & (rn >= thr) & ~brk
+
+        def arn_body(a):
+            k, V, Z, H, g, cs, sn, rn, it, hist, brk = a
+            z = M(V[k])
+            w = A.matvec(z).astype(hdt)
+            Z = Z.at[k].set(z)
+
+            def mgs(j, wh):
+                w, Hcol = wh
+                hjk = jnp.where(j <= k, jnp.vdot(V[j].astype(hdt), w), 0.0)
+                return w - hjk * V[j].astype(hdt), Hcol.at[j].set(hjk)
+
+            w, Hcol = jax.lax.fori_loop(
+                0, m + 1, mgs, (w, jnp.zeros(m + 1, dtype=hdt)))
+            h_next = jnp.linalg.norm(w)
+            Hcol = Hcol.at[k + 1].set(h_next)
+            V = V.at[k + 1].set(
+                jnp.where(h_next > tiny, (w / jnp.where(h_next > tiny,
+                                                        h_next, 1.0)),
+                          0.0).astype(dtype))
+
+            def giv(j, Hc):
+                t = cs[j] * Hc[j] + sn[j] * Hc[j + 1]
+                t2 = -sn[j] * Hc[j] + cs[j] * Hc[j + 1]
+                return Hc.at[j].set(jnp.where(j < k, t, Hc[j])) \
+                         .at[j + 1].set(jnp.where(j < k, t2, Hc[j + 1]))
+
+            Hcol = jax.lax.fori_loop(0, m, giv, Hcol)
+            d = jnp.hypot(Hcol[k], Hcol[k + 1])
+            ck = Hcol[k] / d
+            sk = Hcol[k + 1] / d
+            cs = cs.at[k].set(ck)
+            sn = sn.at[k].set(sk)
+            Hcol = Hcol.at[k].set(d).at[k + 1].set(0.0)
+            H = H.at[:, k].set(Hcol[:m + 1])
+            g = g.at[k + 1].set(-sk * g[k]).at[k].set(ck * g[k])
+            rn_new = jnp.abs(g[k + 1])
+            hist = hist.at[it + 1].set(rn_new)
+            return (k + 1, V, Z, H, g, cs, sn, rn_new, it + 1, hist,
+                    h_next <= tiny)
+
+        k, V, Z, H, g, cs, sn, rn, it, hist, brk = jax.lax.while_loop(
+            arn_cond, arn_body,
+            (0, V, Z, H, g, cs, sn, res_norm, total_it, hist,
+             jnp.asarray(False)))
+
+        # y = H[:k,:k]^{-1} g[:k] — H is upper triangular after the
+        # rotations; rows past k get a unit diagonal and zero rhs so the
+        # padded m x m triangular solve returns y[j>=k] = 0 exactly
+        active = jnp.arange(m) < k
+        eye = jnp.eye(m, dtype=bool)
+        Hm = H[:m, :m] * active[None, :]
+        Hm = jnp.where(eye & ~active[None, :], 1.0, Hm)
+        gm = jnp.where(active, g[:m], 0.0)
+        y = jax.scipy.linalg.solve_triangular(Hm, gm, lower=False)
+        du = (y.astype(dtype) @ Z)
+        u = u + du
+        r = rhs - A.matvec(u)
+        res_true = jnp.linalg.norm(r).astype(hdt)
+        # the host path overwrites the last Givens estimate with the true
+        # restart-boundary residual; mirror it (index it, already written)
+        hist = hist.at[it].set(res_true)
+        return u, r, res_true, it, hist
+
+    u, r, res_norm, total_it, hist = jax.lax.while_loop(
+        restart_cond, restart_body, (u0, r0, init_res, 0, hist0))
+    return SolveResult(
+        u=u, iters=total_it, init_res=init_res.astype(dtype),
+        final_res=res_norm.astype(dtype), history=hist.astype(dtype),
+        true_res=res_norm.astype(dtype))
+
+
 def solve_GMRES(hierarchy, rhs, params=None, tol: float = 1e-8,
                 max_iter: int = 100, restart: int = 30,
-                precondition: bool = True) -> SolveResult:
+                precondition: bool = True,
+                engine: str = "device") -> SolveResult:
     """Restarted FGMRES, right-preconditioned by one V-cycle when
-    ``precondition`` (pGMRES). Host-driven outer loop over jitted kernels."""
+    ``precondition`` (pGMRES). ``engine="device"`` (default) runs the
+    fully-jitted Arnoldi (_gmres_device); ``engine="host"`` keeps the
+    original host-driven loop (reference-style, used as the parity
+    oracle in tests)."""
     params = params or SolveParams()
+    if engine == "device":
+        rhs_d = _prep_rhs(jnp.asarray(rhs, dtype=hierarchy.dtype), hierarchy)
+        res = _gmres_device(hierarchy, params, rhs_d,
+                            jnp.asarray(tol, hierarchy.dtype),
+                            max_iter, restart, precondition)
+        return dataclasses.replace(res, u=_finalize(res.u, hierarchy))
     rhs = _prep_rhs(jnp.asarray(rhs, dtype=hierarchy.dtype), hierarchy)
     A = hierarchy.levels[0].A
     n = rhs.shape[0]

