@@ -593,7 +593,12 @@ def _level_task(l, is_coarsest, csr_levels, Ps, Rs, structs, opts,
     the serial build."""
     low_dtype = jnp.dtype(opts.low_dtype)
     Acsr = csr_levels[l]
-    dt = low_dtype if l >= opts.float_level else dtype
+    # storage reduction only under the OPT-IN float_storage flag: the
+    # reference's float_level keeps local values double (wire-only float,
+    # matvec_sparse_float) — whole-operator casts wreck ill-scaled coarse
+    # operators (SiH4: 53 -> 156 iterations)
+    dt = low_dtype if (opts.float_storage and l >= opts.float_level) \
+        else dtype
     # reduced-precision smoother twin built at conversion time from the
     # same host arrays — a device-side astype would pay one remote XLA
     # compile per level (bf16 DIA twins stream half the diagonal bytes
@@ -640,7 +645,8 @@ def _level_task(l, is_coarsest, csr_levels, Ps, Rs, structs, opts,
 
     P_dev = R_dev = None
     if not is_coarsest:
-        dt_next = low_dtype if (l + 1) >= opts.float_level else dtype
+        dt_next = low_dtype if (opts.float_storage
+                                and (l + 1) >= opts.float_level) else dtype
         struct = structs[l] if structs else None
         if struct is not None and jax.default_backend() != "cpu":
             from saena_tpu.ops.formats import (

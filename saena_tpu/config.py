@@ -44,8 +44,24 @@ class Options:
     row_reduction_up_thrshld: float = 0.90
 
     # ---- mixed precision (ref: saena_object.h:69 float_level) ----
-    float_level: int = 3               # levels >= this use reduced precision
-    low_dtype: str = "float32"         # dtype for levels >= float_level ("float32"|"bfloat16")
+    float_level: int = 3               # levels >= this use reduced-precision
+                                       # HALO payloads on the sharded path —
+                                       # the reference's actual float_level
+                                       # semantics: matvec_sparse_float keeps
+                                       # val_local/v DOUBLE and sends only
+                                       # vSend_f/vecValues_f as MPI_FLOAT
+                                       # (saena_matrix_matvec.cpp:448-520),
+                                       # so at one rank it is a no-op
+    low_dtype: str = "float32"         # wire dtype for those halos; also the
+                                       # STORAGE dtype when float_storage
+    float_storage: bool = False        # opt-in, MORE aggressive than the
+                                       # reference: store A/P/R of levels >=
+                                       # float_level at low_dtype (whole-
+                                       # operator cast). Off by default: on
+                                       # ill-scaled operators (SiH4) the f32
+                                       # operator cast cost 53 -> 156 pCG
+                                       # iterations while the reference's
+                                       # wire-only float path stayed at 55
 
     # ---- Galerkin filtering (ref: saena_object.h:203-210) ----
     filter_thre: float = 1e-12

@@ -1223,7 +1223,8 @@ def shard_hierarchy(
                 # reference's actual decide_shrinking semantics); on any
                 # failure fall back to the static ratio
                 try:
-                    dt_l = low_dtype if l >= opts.float_level else dtype
+                    dt_l = low_dtype if (opts.float_storage and
+                                         l >= opts.float_level) else dtype
                     cands = [d_act] + ([d_act // 2] if d_act > 1 else [])
                     times = {
                         d: measured_shrink_time(
@@ -1248,7 +1249,8 @@ def shard_hierarchy(
         # split over the active devices; others keep the nnz-balanced split
         dia_plan = None
         if sharded_format in ("auto", "dia"):
-            dt_l = low_dtype if l >= opts.float_level else dtype
+            dt_l = low_dtype if (opts.float_storage and
+                                 l >= opts.float_level) else dtype
             dia_plan = sharded_dia_plan(A, D, d_act, dt_l)
         dia_plans.append(dia_plan)
         splits.append(dia_plan[0] if dia_plan is not None
@@ -1264,23 +1266,38 @@ def shard_hierarchy(
     compress = opts.halo_dtype if opts.compress_halo else ""
     mode = opts.halo_mode
 
+    def _level_compress(l: int, dt) -> str:
+        # float_level's REFERENCE semantics: levels >= it ship their halo
+        # payloads at low_dtype (the vSend_f/MPI_FLOAT wire of
+        # matvec_sparse_float, saena_matrix_matvec.cpp:448-520) while local
+        # values stay at the level dtype. An explicit compress_halo wins;
+        # no-op when the wire dtype would not actually shrink the payload.
+        if compress:
+            return compress
+        if l >= opts.float_level and \
+                jnp.dtype(low_dtype).itemsize < jnp.dtype(dt).itemsize:
+            return str(jnp.dtype(low_dtype))
+        return ""
+
     from saena_tpu.amg.eig import eig_max_invdiag_host
 
     sharded_levels = []
     for l in range(n_sharded):
         A = csr_levels[l]
-        dt = low_dtype if l >= opts.float_level else dtype
+        dt = low_dtype if (opts.float_storage and
+                           l >= opts.float_level) else dtype
+        comp_l = _level_compress(l, dt)
         density = A.nnz / max(1, A.shape[0] ** 2)
         if (opts.switch_to_dense and l > 0 and density > opts.dense_thre
                 and A.shape[0] <= opts.dense_sz_thre):
             Ash = _build_sharded_dense(A, splits[l], dt, axis, D,
-                                       compress=compress)
+                                       compress=comp_l)
         elif dia_plans[l] is not None:
             Ash = _build_sharded_dia(A, dia_plans[l], dt, axis, D,
-                                     compress=compress)
+                                     compress=comp_l)
         else:
             Ash = _sharded_operator(A, splits[l], splits[l], dt, mode, axis,
-                                    compress=compress, fmt=sharded_format)
+                                    compress=comp_l, fmt=sharded_format)
         n_rows_pad = pad_to(int(np.max(np.diff(splits[l]))))
         inv_d = np.zeros((D, n_rows_pad))
         diag = A.diagonal()
@@ -1296,14 +1313,18 @@ def shard_hierarchy(
 
         R_next = P_next = None
         if l + 1 < n_sharded:
-            dt_next = low_dtype if (l + 1) >= opts.float_level else dtype
+            dt_next = low_dtype if (opts.float_storage and
+                                    (l + 1) >= opts.float_level) else dtype
+            comp_next = _level_compress(l + 1, dt_next)
             # R: rows on coarse split, columns in fine split space
             R_next = _sharded_operator(Rs[l], splits[l + 1], splits[l],
-                                       dt_next, mode, axis, compress=compress,
+                                       dt_next, mode, axis,
+                                       compress=comp_next,
                                        fmt=sharded_format)
             # P: rows on fine split, columns in coarse split space
             P_next = _sharded_operator(Ps[l], splits[l], splits[l + 1],
-                                       dt_next, mode, axis, compress=compress,
+                                       dt_next, mode, axis,
+                                       compress=comp_next,
                                        fmt=sharded_format)
 
         A_smooth = None

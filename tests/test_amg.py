@@ -222,14 +222,23 @@ def test_scale_option():
 
 
 def test_float_level_mixed_precision():
+    """float_level's serial semantics now match the reference: the float
+    path only narrows the HALO WIRE (matvec_sparse_float keeps val_local/v
+    double, saena_matrix_matvec.cpp:448-520), so at one rank it is a no-op
+    and operators stay at the vector dtype. Whole-operator reduction is the
+    opt-in float_storage flag (it cost 53 -> 156 iterations on SiH4)."""
     m = 14
     A = laplacian3D(m, m, m)
     rhs = laplacian3D_set_rhs(m, m, m)
     hi, _, res64 = _solve_problem(A, rhs, opts=Options(float_level=99), tol=1e-8)
-    lo, _, res32 = _solve_problem(A, rhs, opts=Options(float_level=1), tol=1e-8)
+    lo, _, res32 = _solve_problem(
+        A, rhs, opts=Options(float_level=1, float_storage=True), tol=1e-8)
     assert float(res32.rel_res) < 1e-8  # preconditioner quality survives f32
     assert str(lo.levels[-1].A.dtype) == "float32"
     assert str(hi.levels[-1].A.dtype) == "float64"
+    # default (reference semantics): serial hierarchy keeps full precision
+    df, _, _ = _solve_problem(A, rhs, opts=Options(), tol=1e-8)
+    assert str(df.levels[-1].A.dtype) == "float64"
 
 
 def test_solver_params_cache_hit():
@@ -251,7 +260,7 @@ def test_bfloat16_mid_levels():
     m = 14
     A = laplacian3D(m, m, m)
     rhs = laplacian3D_set_rhs(m, m, m)
-    opts = Options(float_level=1, low_dtype="bfloat16")
+    opts = Options(float_level=1, low_dtype="bfloat16", float_storage=True)
     hier, info, = H.setup(A, opts)
     params = H.SolveParams.from_options(opts)
     res = S.solve_pCG(hier, _pad(rhs, hier.n_pad), params=params,

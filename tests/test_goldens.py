@@ -1,14 +1,22 @@
 """Convergence goldens: EXACT iteration counts + residual histories for the
-BASELINE.md parity workloads (VERDICT r1 #4).
+BASELINE.md parity workloads (VERDICT r1 #4), PLUS true reference counts.
 
 The reference prints these numbers on every solve (saena_object_solve.cpp:
 1940-1982, 2502) and BASELINE's north star is reproducing its iteration
-counts. The reference binary cannot be built in this image (its CMake hard-
-requires MPI and MKL; neither is installed — see tools/record_goldens.py),
-so the goldens are self-recorded f64 CPU runs that act as exact drift
-gates: any hierarchy-semantics change (strength, aggregation, smoothing,
-filtering, eig estimate, transfer operators) shifts a count or history and
-fails here loudly. Regenerate deliberately with tools/record_goldens.py.
+counts. Two layers of gating:
+
+1. convergence.json — SELF-recorded f64 CPU runs acting as exact drift
+   gates: any hierarchy-semantics change (strength, aggregation, smoothing,
+   filtering, eig estimate, transfer operators) shifts a count or history
+   and fails loudly. Regenerate deliberately with tools/record_goldens.py.
+2. reference_convergence.json — TRUE iteration counts from the REFERENCE
+   BINARY ITSELF, built serially in this image with one-rank MPI /
+   LAPACK-backed-SuperLU / Gustavson-mkl_dcsrmultcsr stubs
+   (tools/refbuild/; VERDICT r3 #2). test_reference_iteration_parity
+   compares: Poisson counts match EXACTLY (5/6/7); bcsstk16 ours 28 vs its
+   33; unscaled SiH4 ours 53 vs its 55. The reference's scale=true path is
+   unrunnable even by the reference (it dereferences inv_sq_diag_orig,
+   populated only by the never-called scale_matrix(full_scale=true)).
 """
 import json
 import os
@@ -121,3 +129,47 @@ def test_golden_helmholtz(p):
         A, Options(least_row_threshold=20), A @ np.ones(A.shape[0]),
         p_levels=modal_block_plevels(n_units, p))
     _check(f"helmholtz_p{p}", it, hist, levels)
+
+
+REF_GOLDEN_PATH = os.path.join(os.path.dirname(__file__), "goldens",
+                               "reference_convergence.json")
+
+
+@pytest.mark.skipif(not os.path.exists(REF_GOLDEN_PATH),
+                    reason="reference goldens not recorded")
+def test_reference_iteration_parity():
+    """TRUE reference iteration counts (VERDICT r3 #2): the reference
+    library was built serially with one-rank MPI / LAPACK-SuperLU /
+    Gustavson-MKL stubs (tools/refbuild/) and its solve_pCG outputs
+    recorded into reference_convergence.json by tools/refbuild/
+    run_goldens.py. Poisson counts must match EXACTLY; matrix-market
+    configs allow a small band because the reference's aggregation_1_dist
+    is randomized (its hierarchies differ run to run — recorded level
+    sizes vary while counts stay stable), so exact hierarchy equality is
+    not even reference-vs-reference reproducible."""
+    with open(REF_GOLDEN_PATH) as f:
+        ref = json.load(f)
+
+    for m in (16, 24, 32):
+        key = f"poisson3d_{m}"
+        assert ref[key]["iters"] == GOLDENS[key]["iters"], \
+            f"{key}: reference {ref[key]['iters']} vs ours " \
+            f"{GOLDENS[key]['iters']}"
+
+    # banded: both hit the 30-iteration cap; compare the reached residual
+    assert ref["banded_3000_16"]["iters"] == 30
+    assert GOLDENS["banded_3000_16"]["iters"] == 30
+    h = GOLDENS["banded_3000_16"]["history"]
+    ours_rel = h[-1] / h[0]
+    assert ours_rel <= 2.0 * ref["banded_3000_16"]["rel_res"], \
+        f"banded residual after 30 iters: ours {ours_rel:.3e} vs " \
+        f"reference {ref['banded_3000_16']['rel_res']:.3e}"
+
+    # Florida: ours must converge and be no worse than the reference's
+    # count by more than the aggregation-tie-break band (ours currently
+    # BEATS the reference on both: bcsstk16 28 vs 33, sih4 53 vs 55)
+    for key in ("bcsstk16", "sih4"):
+        if key in ref and key in GOLDENS:
+            assert GOLDENS[key]["iters"] <= 1.2 * ref[key]["iters"] + 2, \
+                f"{key}: ours {GOLDENS[key]['iters']} vs reference " \
+                f"{ref[key]['iters']}"

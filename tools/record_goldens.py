@@ -101,6 +101,12 @@ def main():
         goldens["sih4_scaled"] = _solve(As, Options(scale=True),
                                         As @ np.ones(As.shape[0]))
         print(f"sih4_scaled: {goldens['sih4_scaled']['iters']} iters")
+        # unscaled twin: the configuration the REFERENCE binary can run
+        # (its scale=true path dereferences the never-populated
+        # inv_sq_diag_orig — see tools/refbuild/record_goldens.cpp), so
+        # this is the SiH4 config with a true reference comparison point
+        goldens["sih4"] = _solve(As, Options(), As @ np.ones(As.shape[0]))
+        print(f"sih4: {goldens['sih4']['iters']} iters")
 
     # config 4: Helmholtz2D p-coarsening (P2-P5)
     hh = f"{REF}/Helmholtz2D_CG_curved_tri"
