@@ -479,6 +479,54 @@ def _setup_workers() -> int:
     return max(2, min(4, os.cpu_count() or 2))
 
 
+class _DoneFuture:
+    """Minimal completed-future shim for devicify's eig_futures dict."""
+
+    def __init__(self, v):
+        self._v = v
+
+    def result(self):
+        return self._v
+
+
+def _same_pattern(a: sp.csr_matrix, b: sp.csr_matrix) -> bool:
+    """True when two CSRs share shape + sparsity pattern (values may
+    differ) — the precondition for every lazy-update reuse."""
+    if a is b:
+        return True
+    if a.shape != b.shape or a.nnz != b.nnz:
+        return False
+    return np.array_equal(a.indptr, b.indptr) and \
+        np.array_equal(a.indices, b.indices)
+
+
+_PLAN_MEMO_ATTRS = ("_saena_strip_pick", "_saena_bsr_geom",
+                    "_saena_symmetric")
+
+
+def _transfer_plan_memos(old: sp.csr_matrix, new: sp.csr_matrix) -> None:
+    """Copy pattern-only planning memos from ``old`` onto ``new`` (same
+    pattern, new values): strip pick, BSR geometry, symmetry flag, and the
+    strip8 plan (its layout is pattern-only; the stored COO is re-derived
+    from the NEW matrix so value scatters see fresh data)."""
+    if not _same_pattern(old, new):
+        return
+    for attr in _PLAN_MEMO_ATTRS:
+        tok = getattr(old, attr, None)
+        if tok is not None:
+            try:
+                setattr(new, attr, tok)
+            except AttributeError:
+                return
+    tok = getattr(old, "_saena_strip8_plan", None)
+    if tok is not None and tok[1] is not None:
+        try:
+            new.sort_indices()
+            new._saena_strip8_plan = (tok[0], (new.tocoo(), tok[1][1]))
+        except AttributeError:
+            pass
+
+
 def devicify(
     csr_levels,
     Ps,
@@ -491,6 +539,7 @@ def devicify(
     eig_futures=None,
     executor=None,
     build_futures=None,
+    reuse=None,
 ) -> tuple[Hierarchy, SetupInfo]:
     """Convert a host CSR hierarchy into device Level pytrees. Split out of
     setup() so the lazy-update path (update1/2/3) can re-devicify after a
@@ -505,7 +554,15 @@ def devicify(
     RPCs release the GIL, so levels pipeline. ``build_futures``: results of
     _level_task already submitted by setup() DURING coarsening (fine levels
     are final the moment their coarse level exists). All paths assemble in
-    level order and are bitwise-identical to the serial build."""
+    level order and are bitwise-identical to the serial build.
+
+    ``reuse``: (old_hierarchy, old_csrs, old_Ps, old_Rs) from the previous
+    devicify — the LAZY-UPDATE fast path (ref ITER_LAZY design,
+    saena_object.h:19): levels whose CSR object is unchanged are reused
+    wholesale (update1 touches only level 0); levels whose PATTERN is
+    unchanged reuse the old level's eig estimate and format plans
+    (transferred onto the new CSR) and its P/R device objects, so a
+    values-only update re-plans and re-Lanczos's nothing."""
     dtype = dtype or default_dtype()
     n_lv = len(csr_levels)
 
@@ -513,10 +570,54 @@ def devicify(
     info = SetupInfo([], [], [], [], [], [None] * n_lv, ["-"] * n_lv,
                      csr_levels=list(csr_levels), Ps=list(Ps), Rs=list(Rs))
 
+    reuse_eigs = None
+    if reuse is not None:
+        old_hier, old_csrs, old_Ps, old_Rs = reuse
+        reuse_eigs = {}
+        for l in range(min(n_lv, len(old_csrs))):
+            if _same_pattern(old_csrs[l], csr_levels[l]):
+                _transfer_plan_memos(old_csrs[l], csr_levels[l])
+                if old_hier.levels[l].eig_max is not None:
+                    # values-only refresh: reuse lambda_max — the lazy
+                    # path's approximation (a small value change moves the
+                    # Chebyshev endpoint marginally; full set_matrix
+                    # recomputes it)
+                    reuse_eigs[l] = old_hier.levels[l].eig_max
+
     def _build_level(l):
         if build_futures is not None and l in build_futures:
             return build_futures[l].result()
-        return _level_task(l, l == n_lv - 1, csr_levels, Ps, Rs, structs,
+        is_coarsest = l == n_lv - 1
+        if reuse is not None and l < len(old_csrs):
+            old_lv = old_hier.levels[l]
+            same_A = old_csrs[l] is csr_levels[l]
+            same_PR = is_coarsest or (
+                l < len(old_Ps) and old_Ps[l] is Ps[l]
+                and old_Rs[l] is Rs[l])
+            same_pat = l in (reuse_eigs or {}) or \
+                _same_pattern(old_csrs[l], csr_levels[l])
+            if same_A and same_PR and (not is_coarsest or True):
+                Acsr = csr_levels[l]
+                nloc = Acsr.shape[0]
+                return old_lv, (nloc, int(Acsr.nnz),
+                                Acsr.nnz / max(1, nloc * nloc),
+                                type(old_lv.A).__name__, str(old_lv.A.dtype))
+            if same_PR and same_pat:
+                # values-only: rebuild A + inv_diag, graft the old P/R
+                # (structural SmoothedP/R embed the level's A — re-point)
+                lv, row = _level_task(
+                    l, is_coarsest, csr_levels, Ps, Rs, None, opts, dtype,
+                    use_dense,
+                    {l: _DoneFuture(reuse_eigs[l])} if l in reuse_eigs
+                    else None, skip_transfers=True)
+                P_dev, R_dev = old_lv.P, old_lv.R
+                if P_dev is not None and hasattr(P_dev, "A"):
+                    P_dev = dataclasses.replace(P_dev, A=lv.A)
+                if R_dev is not None and hasattr(R_dev, "A"):
+                    R_dev = dataclasses.replace(R_dev, A=lv.A)
+                lv = dataclasses.replace(lv, P=P_dev, R=R_dev)
+                return lv, row
+        return _level_task(l, is_coarsest, csr_levels, Ps, Rs, structs,
                            opts, dtype, use_dense, eig_futures)
 
     if executor is not None and n_lv > 1:
@@ -534,7 +635,11 @@ def devicify(
 
     # ---- coarsest factorization (cached across solves) ----
     coarse_lu = None
-    if opts.direct_solver == "LU":
+    if (reuse is not None and opts.direct_solver == "LU"
+            and len(old_csrs) == n_lv and old_csrs[-1] is csr_levels[-1]
+            and old_hier.coarse_lu is not None):
+        coarse_lu = old_hier.coarse_lu      # update1: coarsest untouched
+    elif opts.direct_solver == "LU":
         Acoarse = csr_levels[-1]
         n = Acoarse.shape[0]
         # the coarse DIRECT solve runs at the VECTOR dtype regardless of
@@ -585,7 +690,7 @@ def devicify(
 
 
 def _level_task(l, is_coarsest, csr_levels, Ps, Rs, structs, opts,
-                dtype, use_dense, eig_futures):
+                dtype, use_dense, eig_futures, skip_transfers=False):
     """Build ONE level's device objects (A format, inv_diag, eig, P/R).
     Runs on setup's worker threads — possibly WHILE deeper levels are still
     coarsening: level l is final the moment level l+1 exists, and the lists
@@ -644,7 +749,7 @@ def _level_task(l, is_coarsest, csr_levels, Ps, Rs, structs, opts,
             eig = float(eig_max_invdiag_host(Acsr))
 
     P_dev = R_dev = None
-    if not is_coarsest:
+    if not is_coarsest and not skip_transfers:
         dt_next = low_dtype if (opts.float_storage
                                 and (l + 1) >= opts.float_level) else dtype
         struct = structs[l] if structs else None

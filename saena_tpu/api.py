@@ -241,15 +241,17 @@ class AMG:
         """Replace only the finest-level values (same pattern)."""
         if self.info is None:
             raise ValueError("set_matrix() first")
+        old = self._snapshot()
         self.info.csr_levels[0] = A_new.csr
         self._matrix = A_new
-        self._redevicify()
+        self._redevicify(old)
         return self
 
     def update2(self, A_new: Matrix) -> "AMG":
         """Recompute every coarse operator through the EXISTING P/R."""
         if self.info is None:
             raise ValueError("set_matrix() first")
+        old = self._snapshot()
         csr = A_new.csr
         levels = [csr]
         for l, (P, R) in enumerate(zip(self.info.Ps, self.info.Rs)):
@@ -260,7 +262,7 @@ class AMG:
             levels.append(filter_lump(Ac, thre))
         self.info.csr_levels = levels
         self._matrix = A_new
-        self._redevicify()
+        self._redevicify(old)
         return self
 
     def update3(self, A_new: Matrix) -> "AMG":
@@ -279,6 +281,7 @@ class AMG:
         filter_thre=0 the result is exactly update2's."""
         if self.info is None:
             raise ValueError("set_matrix() first")
+        snap = self._snapshot()
         old = self.info.csr_levels[0]
         csr = A_new.csr
         if old.shape != csr.shape:
@@ -298,12 +301,25 @@ class AMG:
             levels.append(Ac)
         self.info.csr_levels = levels
         self._matrix = A_new
-        self._redevicify()
+        self._redevicify(snap)
         return self
 
-    def _redevicify(self):
+    def _snapshot(self):
+        """(hierarchy, csrs, Ps, Rs) BEFORE an update mutates info — the
+        reuse baseline for devicify's lazy fast path."""
+        return (self.hierarchy, list(self.info.csr_levels),
+                list(self.info.Ps), list(self.info.Rs))
+
+    def _redevicify(self, old=None):
+        """Rebuild device levels after a host-CSR refresh. With ``old`` (a
+        _snapshot), devicify reuses unchanged levels wholesale and, for
+        same-pattern value changes, the cached eigs, format plans, and P/R
+        device objects — the ITER_LAZY design (ref saena_object.h:19):
+        update1 at 48^3 re-ships one level's values instead of re-running
+        per-level Lanczos and strip planning."""
         self.hierarchy, info = _hier.devicify(
-            self.info.csr_levels, self.info.Ps, self.info.Rs, self.opts)
+            self.info.csr_levels, self.info.Ps, self.info.Rs, self.opts,
+            reuse=old)
         info.thetas, info.coarsen_kinds = self.info.thetas, self.info.coarsen_kinds
         self.info = info
 

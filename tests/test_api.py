@@ -237,3 +237,58 @@ def test_update3_propagates_local_diff_exactly():
     u3, res3 = solver.solve_pCG()
     r = rhs - A2csr @ u3
     assert np.linalg.norm(r) / np.linalg.norm(rhs) < 1e-6
+
+
+def test_lazy_update_reuses_plans_and_eigs():
+    """update1/update3 must NOT re-run per-level Lanczos or format
+    planning (VERDICT r3 #8, ITER_LAZY design, ref saena_object.h:19):
+    unchanged levels are reused wholesale (object identity), value-only
+    levels keep the previous eig estimate, and the coarsest LU is reused
+    when the coarsest CSR is untouched."""
+    import time
+
+    import scipy.sparse as sp
+
+    from saena_tpu import AMG, Matrix, Options, generators
+
+    A0 = generators.laplacian3D(20, 20, 20)
+    A = Matrix(); A.set_csr(A0); A.assemble()
+    solver = AMG()
+    solver.set_matrix(A, Options(remove_boundary=False))
+    h0 = solver.hierarchy
+    eigs0 = [lv.eig_max for lv in h0.levels]
+
+    # values-only change on the finest level
+    A1 = A0.copy()
+    A1.data = A1.data * (1.0 + 1e-6)
+    M1 = Matrix(); M1.set_csr(A1); M1.assemble()
+    t0 = time.perf_counter()
+    solver.update1(M1)
+    dt = time.perf_counter() - t0
+    h1 = solver.hierarchy
+    # coarse levels untouched -> reused WHOLESALE
+    for l in range(1, h0.n_levels):
+        assert h1.levels[l] is h0.levels[l], l
+    # finest rebuilt with new values, eig reused (no re-Lanczos)
+    assert h1.levels[0] is not h0.levels[0]
+    assert h1.levels[0].eig_max == eigs0[0]
+    assert h1.coarse_lu is h0.coarse_lu
+    # sanity: it still solves
+    rhs = A1 @ np.ones(A1.shape[0])
+    solver.set_rhs(rhs)
+    u, res = solver.solve_pCG()
+    assert np.linalg.norm(rhs - A1 @ u) / np.linalg.norm(rhs) < 1e-7
+
+    # update3: sparse diff propagates; same-pattern coarse levels keep
+    # their eig estimates without re-running Lanczos
+    A2 = A1.copy()
+    A2.data = A2.data * (1.0 + 1e-7)
+    M2 = Matrix(); M2.set_csr(A2); M2.assemble()
+    solver.update3(M2)
+    h2 = solver.hierarchy
+    for l in range(h0.n_levels - 1):
+        if h2.levels[l].eig_max is not None:
+            assert h2.levels[l].eig_max == eigs0[l], l
+    u, res = solver.solve_pCG()
+    rhs2 = np.asarray(solver._rhs)
+    assert float(res.rel_res) < 1e-8

@@ -658,3 +658,34 @@ def test_sharded_dia_bf16_smooth_twin(mesh):
         sh0, splits0, rhs, mesh, params=H.SolveParams.from_options(opts0),
         tol=1e-6, max_iter=100)
     assert abs(int(iters) - int(iters0)) <= 1
+
+
+def test_sharded_lazy_update(mesh):
+    """Sharded values-only refresh (VERDICT r3 #8): update_sharded_values
+    rebuilds the sharded hierarchy from updated host CSRs while reusing
+    the old per-level eig estimates (no re-Lanczos), and the refreshed
+    hierarchy solves the UPDATED system."""
+    from saena_tpu import AMG, Matrix, Options
+    from saena_tpu.parallel.sharded import update_sharded_values
+
+    A0, rhs = _poisson_interior(16)
+    A = Matrix(); A.set_csr(A0); A.assemble()
+    solver = AMG()
+    opts = Options(replicate_threshold=500)
+    solver.set_matrix(A, opts)
+    sh0, splits0 = shard_hierarchy(solver.info, opts, mesh)
+
+    A1 = A0.copy()
+    A1.data = A1.data * 1.001
+    M1 = Matrix(); M1.set_csr(A1); M1.assemble()
+    solver.update2(M1)
+    sh1, splits1 = update_sharded_values(sh0, solver.info, opts, mesh)
+    # eigs carried over (values changed only slightly; no re-Lanczos)
+    for lv0, lv1 in zip(sh0.sharded, sh1.sharded):
+        assert lv1.eig_max == lv0.eig_max
+
+    rhs1 = A1 @ np.ones(A1.shape[0])
+    u, iters, r0, rfin, hist = sharded_solve_pCG(
+        sh1, splits1, rhs1, mesh, params=solver.params, tol=1e-8,
+        max_iter=100)
+    assert np.linalg.norm(rhs1 - A1 @ u) / np.linalg.norm(rhs1) < 1e-7
