@@ -150,8 +150,10 @@ def test_reference_iteration_parity():
     with open(REF_GOLDEN_PATH) as f:
         ref = json.load(f)
 
-    for m in (16, 24, 32):
+    for m in (16, 24, 32, 48):
         key = f"poisson3d_{m}"
+        if key not in ref or key not in GOLDENS:
+            continue
         assert ref[key]["iters"] == GOLDENS[key]["iters"], \
             f"{key}: reference {ref[key]['iters']} vs ours " \
             f"{GOLDENS[key]['iters']}"

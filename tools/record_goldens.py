@@ -4,12 +4,14 @@ the BASELINE.md parity workloads into tests/goldens/convergence.json.
 
 The reference prints exactly these numbers on every solve
 (/root/reference/src/saena_object_solve.cpp:1940-1982, 2502); BASELINE's
-north star is reproducing its iteration counts. The reference binary CANNOT
-be built in this image — its CMake requires MPI and MKL (CMakeLists.txt
-find_package(MPI REQUIRED), BLAS vendor Intel10_64lp) and neither toolchain
-is installed — so these goldens are SELF-recorded from the f64 CPU solve
-and serve as exact drift gates: any hierarchy-semantics change that shifts
-counts or histories fails tests/test_goldens.py loudly (VERDICT r1 #4).
+north star is reproducing its iteration counts. These goldens are
+SELF-recorded f64 CPU runs serving as exact drift gates: any
+hierarchy-semantics change that shifts counts or histories fails
+tests/test_goldens.py loudly (VERDICT r1 #4). The TRUE reference counts
+live alongside in reference_convergence.json, recorded from the reference
+binary itself (built serially with the tools/refbuild/ stubs — its CMake's
+hard MPI+MKL+SuperLU requirements are satisfied by a one-rank MPI stub, a
+Gustavson mkl_dcsrmultcsr, and a LAPACK-backed pdgssvx).
 
 Run from the repo root: python tools/record_goldens.py
 """
@@ -66,8 +68,9 @@ def main():
 
     goldens = {}
 
-    # config 1: serial 3-D Poisson (test_serial.py scale)
-    for m in (16, 24, 32):
+    # config 1: serial 3-D Poisson (test_serial.py scale; 48 = the bench
+    # workload, also timed side-by-side with the reference binary)
+    for m in (16, 24, 32, 48):
         A = generators.laplacian3D(m, m, m)
         rhs = generators.laplacian3D_set_rhs(m, m, m)
         goldens[f"poisson3d_{m}"] = _solve(

@@ -17,7 +17,9 @@ static void poisson(int m) {
     saena::matrix A(comm);
     saena::laplacian3D(&A, m, m, m);
     A.set_remove_boundary(true);
+    double t0 = MPI_Wtime();
     A.assemble(false);
+    double t_asm = MPI_Wtime() - t0;
 
     value_t *rhs_std = nullptr;
     index_t orig_sz = saena::laplacian3D_set_rhs(rhs_std, m, m, m, comm);
@@ -29,10 +31,15 @@ static void poisson(int m) {
 
     saena::options opts;   // reference public defaults
     saena::amg solver;
+    t0 = MPI_Wtime();
     solver.set_matrix(&A, &opts);
     solver.set_rhs(rhs);
+    double t_setup = MPI_Wtime() - t0;
+    printf("TIMING assemble=%.3f setup=%.3f\n", t_asm, t_setup);
     value_t *u = nullptr;
+    t0 = MPI_Wtime();
     solver.solve_pCG(u, &opts);
+    printf("TIMING solve=%.3f\n", MPI_Wtime() - t0);
     solver.destroy();
     A.destroy();
     saena_free(rhs_std);
@@ -124,6 +131,7 @@ int main(int argc, char **argv) {
     if (cfg == "poisson3d_16") poisson(16);
     else if (cfg == "poisson3d_24") poisson(24);
     else if (cfg == "poisson3d_32") poisson(32);
+    else if (cfg == "poisson3d_48") poisson(48);
     else if (cfg == "banded_3000_16") banded(3000, 16, 30);
     else if (cfg == "bcsstk16")
         // no bundled .bin; the mtx->bin converter writes next to the file,

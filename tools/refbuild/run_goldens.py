@@ -20,7 +20,7 @@ import sys
 HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(os.path.dirname(HERE))
 OUT = os.path.join(REPO, "tests", "goldens", "reference_convergence.json")
-CONFIGS = ["poisson3d_16", "poisson3d_24", "poisson3d_32",
+CONFIGS = ["poisson3d_16", "poisson3d_24", "poisson3d_32", "poisson3d_48",
            "banded_3000_16", "bcsstk16", "sih4"]
 
 
@@ -44,7 +44,9 @@ def main():
                 ("iters", r"stopped at iteration\s*=\s*(\d+)"),
                 ("init_res", r"initial residual\s*=\s*([\d.eE+-]+)"),
                 ("final_res", r"final absolute residual\s*=\s*([\d.eE+-]+)"),
-                ("rel_res", r"relative residual\s*=\s*([\d.eE+-]+)")):
+                ("rel_res", r"relative residual\s*=\s*([\d.eE+-]+)"),
+                ("setup_s", r"TIMING assemble=[\d.]+ setup=([\d.]+)"),
+                ("solve_s", r"TIMING solve=([\d.]+)")):
             m = re.search(pat, text)
             if m:
                 rec[key] = int(m.group(1)) if key == "iters" \
