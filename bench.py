@@ -31,8 +31,11 @@ import numpy as np
 N_SHORT = 5
 
 
-def _slope(f, *args, est_iter_s: float = 5e-4):
-    """Per-iteration seconds via value-fetch times of two loop lengths.
+def _slope_reps(f, *args, est_iter_s: float = 5e-4):
+    """Per-iteration seconds via value-fetch times of two loop lengths;
+    returns (median_s, all_rep_seconds) so callers can report the spread
+    (VERDICT r4: round-over-round comparisons without a spread are partly
+    fiction — ±7% rep scatter dwarfs real kernel changes).
 
     The long chain is sized from ``est_iter_s`` (a cheap per-iteration
     estimate, e.g. the HBM-roofline time) so the long-minus-short delta is
@@ -51,7 +54,16 @@ def _slope(f, *args, est_iter_s: float = 5e-4):
         float(f(*args, n=n_long))
         t_l = time.perf_counter() - t0
         reps.append((t_l - t_s) / (n_long - N_SHORT))
-    return max(1e-9, float(np.median(reps)))
+    return max(1e-9, float(np.median(reps))), reps
+
+
+def _slope(f, *args, est_iter_s: float = 5e-4):
+    return _slope_reps(f, *args, est_iter_s=est_iter_s)[0]
+
+
+def _spread_pct(reps) -> float:
+    med = float(np.median(reps))
+    return round((max(reps) - min(reps)) / max(med, 1e-12) * 100.0, 1)
 
 
 def main():
@@ -112,7 +124,7 @@ def main():
     x = jnp.asarray(np.pad(rng.standard_normal(n), (0, hier.n_pad - n)),
                     dtype=dtype)
     est = A0dev.nnz * 12.0 / 819e9   # roofline estimate sizes the chain
-    spmv_s = _slope(mv_chain, A0dev, x, est_iter_s=est)
+    spmv_s, spmv_reps = _slope_reps(mv_chain, A0dev, x, est_iter_s=est)
     nnz_per_s = A0dev.nnz / spmv_s
 
     # bf16-stored twin of the same operator — the smoother matvec kernel
@@ -121,7 +133,8 @@ def main():
     A0bf = _dc.replace(
         A0dev, data=(jnp.asarray(np.asarray(A0dev.data, dtype=np.float32))
                      .astype(jnp.bfloat16)))
-    spmv_bf16_s = _slope(mv_chain, A0bf, x, est_iter_s=est / 2)
+    spmv_bf16_s, spmv_bf16_reps = _slope_reps(mv_chain, A0bf, x,
+                                              est_iter_s=est / 2)
     nnz_per_s_bf16 = A0dev.nnz / spmv_bf16_s
 
     # ---- tunnel RPC floor: a value fetch costs ~26 ms through the axon
@@ -296,7 +309,11 @@ def main():
             "format": type(A0dev).__name__,
             "dtype": "float32",
             "spmv_us": round(spmv_s * 1e6, 2),
+            "spmv_us_reps": [round(r * 1e6, 3) for r in spmv_reps],
+            "spmv_spread_pct": _spread_pct(spmv_reps),
             "spmv_bf16_us": round(spmv_bf16_s * 1e6, 2),
+            "spmv_bf16_us_reps": [round(r * 1e6, 3) for r in spmv_bf16_reps],
+            "spmv_bf16_spread_pct": _spread_pct(spmv_bf16_reps),
             "spmv_bf16_nnz_per_s": round(nnz_per_s_bf16, 1),
             "vcycle_ms_est": round(vcycle_s * 1e3, 3),
             "pcg_iters_to_1e8": iters,
@@ -305,9 +322,18 @@ def main():
             "pcg_solve_ms_device": round(solve_dev_s * 1e3, 2),
             "rpc_floor_ms": round(rpc_s * 1e3, 2),
             "setup_s": round(setup_s, 2),
+            "setup_phases": {k: round(v, 2)
+                             for k, v in sorted(
+                                 getattr(info, "phases", {}).items(),
+                                 key=lambda kv: -kv[1])},
             "setup_shards": getattr(info, "n_shards", 0),
             "setup_wire_mb": round(
                 getattr(info.comm, "total_bytes", 0) / 1e6, 3)
+            if getattr(info, "comm", None) is not None else None,
+            "setup_wire_by_phase_mb": {
+                k: [round(v / 1e6, 2),
+                    round(info.comm.raw_by_phase.get(k, v) / 1e6, 2)]
+                for k, v in sorted(info.comm.bytes_by_phase.items())}
             if getattr(info, "comm", None) is not None else None,
             "model_check": mcheck,
             "levels": info.sizes,

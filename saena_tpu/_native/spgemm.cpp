@@ -114,15 +114,21 @@ void *spgemm_csr_start(int64_t n, int64_t m,
     // sparse scatter, so the contiguous-access win only nets out once B
     // is well past half full (measured: no gain at 38-52%, ~1.5-2x at
     // ~90% — the near-dense coarse AMG levels)
+    // panel cap: 3.2e7 doubles = 256 MB — a 2-core setup host cannot
+    // afford the previous 1.2e8-element (~1 GB) temporary (ADVICE r4:
+    // swap/OOM risk mid-setup); near-dense coarse AMG operands are far
+    // smaller than this anyway
     const bool dense_b = k_rows > 0 && b_fill >= 0.65 &&
-                         (double)k_rows * (double)m <= 1.2e8;
+                         (double)k_rows * (double)m <= 3.2e7;
     if (dense_b) {
         Bd.assign((size_t)k_rows * (size_t)m, 0.0);
 #pragma omp parallel for schedule(static)
         for (int64_t kk = 0; kk < k_rows; ++kk) {
             double *row = Bd.data() + (size_t)kk * (size_t)m;
+            // += so non-canonical CSR input (duplicate column entries)
+            // keeps the Gustavson path's duplicate-summing semantics
             for (int64_t pb = b_indptr[kk]; pb < b_indptr[kk + 1]; ++pb)
-                row[b_indices[pb]] = b_values[pb];
+                row[b_indices[pb]] += b_values[pb];
         }
     }
 

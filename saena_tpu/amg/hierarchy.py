@@ -12,6 +12,9 @@ solve.cpp:922-926 — here the dense LU of the coarsest level is cached).
 from __future__ import annotations
 
 import dataclasses
+import threading
+import time
+from contextlib import contextmanager
 from typing import Optional
 
 import jax
@@ -188,6 +191,11 @@ class SetupInfo:
     Rs: list = dataclasses.field(default_factory=list, repr=False)
     comm: object = None   # CommMeter when built by parallel/dist_setup.py
     n_shards: int = 0     # shard count of the setup that built this (dist)
+    phases: dict = dataclasses.field(default_factory=dict, repr=False)
+    # per-phase setup seconds (PhaseTimer): phases OVERLAP across setup's
+    # worker threads, so the sum may exceed the wall entry — each value is
+    # the total thread-time that phase occupied (the "where does setup go"
+    # budget, VERDICT r4 #1)
 
     def shard_stats(self, n_shards: int = 0, splits=None) -> list:
         """Per-level per-shard (M_min, M_avg, M_max, nnz_min, nnz_avg,
@@ -237,6 +245,48 @@ class SetupInfo:
 # ---------------------------------------------------------------------------
 
 
+class PhaseTimer:
+    """Accumulates per-phase wall seconds across setup's worker threads.
+    One setup runs at a time per process (its executor owns the workers);
+    the ACTIVE timer is a module global so the nested level tasks and the
+    dist-setup shard tasks need no signature changes. Phases overlap by
+    design (eig Lanczos runs behind Galerkin; level builds pipeline), so
+    sum(seconds) can exceed the setup wall time."""
+
+    def __init__(self):
+        self.seconds: dict = {}
+        self._lock = threading.Lock()
+
+    def add(self, name: str, s: float) -> None:
+        with self._lock:
+            self.seconds[name] = self.seconds.get(name, 0.0) + s
+
+    @contextmanager
+    def phase(self, name: str):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            self.add(name, time.perf_counter() - t0)
+
+
+class _NullTimer:
+    @contextmanager
+    def phase(self, name: str):
+        yield
+
+    def add(self, name: str, s: float) -> None:
+        pass
+
+
+_NULL_TIMER = _NullTimer()
+_ACTIVE_TIMER = _NULL_TIMER
+
+
+def _timer():
+    return _ACTIVE_TIMER
+
+
 def default_dtype():
     return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
@@ -261,13 +311,15 @@ def coarsen_csr(A: sp.csr_matrix, lvl: int, opts: Options):
     ``struct`` is (agg, wq) when the level supports structural (fused SA)
     transfer operators on device, else None."""
     n = A.shape[0]
-    if opts.aggregation == "double":
-        from saena_tpu.amg.strength import find_aggregation_double
-        agg, n_c, theta = find_aggregation_double(
-            A, opts.connStrength, opts.adaptive_coarsening)
-    else:
-        agg, n_c, theta = find_aggregation(
-            A, opts.connStrength, opts.adaptive_coarsening)
+    tm = _timer()
+    with tm.phase("aggregation"):
+        if opts.aggregation == "double":
+            from saena_tpu.amg.strength import find_aggregation_double
+            agg, n_c, theta = find_aggregation_double(
+                A, opts.connStrength, opts.adaptive_coarsening)
+        else:
+            agg, n_c, theta = find_aggregation(
+                A, opts.connStrength, opts.adaptive_coarsening)
     if n_c == 0 or n_c >= n:
         return None
     last = False
@@ -276,17 +328,21 @@ def coarsen_csr(A: sp.csr_matrix, lvl: int, opts: Options):
             last = True
         elif n_c / n > opts.row_reduction_up_thrshld:
             last = True
-    P = smoothed_prolongator(A, agg, n_c, omega=opts.Pomega, psmoother=opts.PSmoother)
-    R = restriction(P)
-    if opts.rap == "device":
-        # block-sparse MXU engine: host symbolic, device numeric
-        # (ops/bspgemm.py); f64 on CPU, f32+HIGHEST on TPU
-        from saena_tpu.ops.bspgemm import spgemm_blocks
-        dt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
-        Ac = spgemm_blocks(spgemm_blocks(R, A, dtype=dt), P, dtype=dt)
-    else:
-        Ac = galerkin_product(R, A, P)
-    P, R, Ac, agg, struct = coarsen_tail(A, P, R, Ac, agg, lvl, opts)
+    with tm.phase("prolongation"):
+        P = smoothed_prolongator(A, agg, n_c, omega=opts.Pomega,
+                                 psmoother=opts.PSmoother)
+        R = restriction(P)
+    with tm.phase("rap"):
+        if opts.rap == "device":
+            # block-sparse MXU engine: host symbolic, device numeric
+            # (ops/bspgemm.py); f64 on CPU, f32+HIGHEST on TPU
+            from saena_tpu.ops.bspgemm import spgemm_blocks
+            dt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+            Ac = spgemm_blocks(spgemm_blocks(R, A, dtype=dt), P, dtype=dt)
+        else:
+            Ac = galerkin_product(R, A, P)
+    with tm.phase("coarsen_tail"):
+        P, R, Ac, agg, struct = coarsen_tail(A, P, R, Ac, agg, lvl, opts)
     return P, R, Ac, last, theta, struct
 
 
@@ -366,9 +422,17 @@ def setup(
     import os
     from concurrent.futures import ThreadPoolExecutor
 
+    global _ACTIVE_TIMER
     opts = opts or Options()
     dtype = dtype or default_dtype()
     low_dtype = jnp.dtype(opts.low_dtype)
+    # install the per-phase budget collector (module global: one setup at a
+    # time per process; nested/threaded level tasks find it without
+    # signature plumbing). A nested setup (shouldn't happen) would simply
+    # co-mingle its phases.
+    timer = PhaseTimer()
+    prev_timer, _ACTIVE_TIMER = _ACTIVE_TIMER, timer
+    t_wall0 = time.perf_counter()
 
     A = A.tocsr().astype(np.float64)
     A.sort_indices()
@@ -422,7 +486,10 @@ def setup(
             return
         if (opts.smoother == "chebyshev"
                 and not (l == 0 and opts.eig > 0)):
-            eig_futs[l] = exe.submit(eig_max_invdiag_host, csr_levels[l])
+            def _timed_eig(Acur=csr_levels[l]):
+                with _timer().phase("eig"):
+                    return eig_max_invdiag_host(Acur)
+            eig_futs[l] = exe.submit(_timed_eig)
 
     try:
         if p_levels:
@@ -465,6 +532,9 @@ def setup(
         )
     finally:
         exe.shutdown(wait=False)
+        _ACTIVE_TIMER = prev_timer
+    timer.add("wall", time.perf_counter() - t_wall0)
+    info.phases = timer.seconds
     info.thetas = thetas + [None]
     info.coarsen_kinds = kinds + ["-"]
     return hierarchy, info
@@ -500,13 +570,16 @@ def _same_pattern(a: sp.csr_matrix, b: sp.csr_matrix) -> bool:
         np.array_equal(a.indices, b.indices)
 
 
-_PLAN_MEMO_ATTRS = ("_saena_strip_pick", "_saena_bsr_geom",
-                    "_saena_symmetric")
+# NOTE: _saena_symmetric is deliberately NOT transferred — symmetry is a
+# property of the VALUES, not the pattern, so a same-pattern value refresh
+# may flip it (ADVICE r4: a stale True would let a later setup enable the
+# structural R=P^T path on a non-symmetric A).
+_PLAN_MEMO_ATTRS = ("_saena_strip_pick", "_saena_bsr_geom")
 
 
 def _transfer_plan_memos(old: sp.csr_matrix, new: sp.csr_matrix) -> None:
     """Copy pattern-only planning memos from ``old`` onto ``new`` (same
-    pattern, new values): strip pick, BSR geometry, symmetry flag, and the
+    pattern, new values): strip pick, BSR geometry, and the
     strip8 plan (its layout is pattern-only; the stored COO is re-derived
     from the NEW matrix so value scatters see fresh data)."""
     if not _same_pattern(old, new):
@@ -604,18 +677,19 @@ def devicify(
                                 type(old_lv.A).__name__, str(old_lv.A.dtype))
             if same_PR and same_pat:
                 # values-only: rebuild A + inv_diag, graft the old P/R
-                # (structural SmoothedP/R embed the level's A — re-point)
+                # UNCHANGED. Structural SmoothedP/R embed the A they were
+                # smoothed with — the smoothing identity P=(I-wq*A)P_t only
+                # matches the host Ps/Rs (which the coarse operators were
+                # built through) for THAT A, so the old embedded operator
+                # must be kept, not re-pointed at the refreshed A
+                # (ADVICE r4: re-pointing diverged device P from host P and
+                # could break R = P^T / pCG's SPD requirement).
                 lv, row = _level_task(
                     l, is_coarsest, csr_levels, Ps, Rs, None, opts, dtype,
                     use_dense,
                     {l: _DoneFuture(reuse_eigs[l])} if l in reuse_eigs
                     else None, skip_transfers=True)
-                P_dev, R_dev = old_lv.P, old_lv.R
-                if P_dev is not None and hasattr(P_dev, "A"):
-                    P_dev = dataclasses.replace(P_dev, A=lv.A)
-                if R_dev is not None and hasattr(R_dev, "A"):
-                    R_dev = dataclasses.replace(R_dev, A=lv.A)
-                lv = dataclasses.replace(lv, P=P_dev, R=R_dev)
+                lv = dataclasses.replace(lv, P=old_lv.P, R=old_lv.R)
                 return lv, row
         return _level_task(l, is_coarsest, csr_levels, Ps, Rs, structs,
                            opts, dtype, use_dense, eig_futures)
@@ -634,6 +708,7 @@ def devicify(
         info.dtypes.append(dts)
 
     # ---- coarsest factorization (cached across solves) ----
+    _t0_lu = time.perf_counter()
     coarse_lu = None
     if (reuse is not None and opts.direct_solver == "LU"
             and len(old_csrs) == n_lv and old_csrs[-1] is csr_levels[-1]
@@ -676,6 +751,7 @@ def devicify(
             dm = dense_from_csr(Acoarse, dtype=dt, unit_diag_pad=True)
             lu, piv = jax.scipy.linalg.lu_factor(dm.data)
             coarse_lu = CoarseLU(lu=lu, piv=piv, inv=None, adense=None, n=n)
+    _timer().add("coarse_lu", time.perf_counter() - _t0_lu)
 
     hierarchy = Hierarchy(
         levels=tuple(levels),
@@ -714,25 +790,27 @@ def _level_task(l, is_coarsest, csr_levels, Ps, Rs, structs, opts,
         if sm_dt == jnp.dtype(dt):
             sm_dt = None
     A_smooth = None
-    if is_coarsest and opts.direct_solver == "LU":
-        Adev = dense_from_csr(Acsr, dtype=dt, unit_diag_pad=True)
-    elif sm_dt is not None:
-        Adev, A_smooth = device_matrix_from_csr(
-            Acsr,
-            dtype=dt,
-            dense_thre=opts.dense_thre,
-            dense_sz_thre=opts.dense_sz_thre,
-            switch_to_dense=opts.switch_to_dense and (l > 0 or use_dense),
-            smooth_dtype=sm_dt,
-        )
-    else:
-        Adev = device_matrix_from_csr(
-            Acsr,
-            dtype=dt,
-            dense_thre=opts.dense_thre,
-            dense_sz_thre=opts.dense_sz_thre,
-            switch_to_dense=opts.switch_to_dense and (l > 0 or use_dense),
-        )
+    tm = _timer()
+    with tm.phase("devicify_A"):
+        if is_coarsest and opts.direct_solver == "LU":
+            Adev = dense_from_csr(Acsr, dtype=dt, unit_diag_pad=True)
+        elif sm_dt is not None:
+            Adev, A_smooth = device_matrix_from_csr(
+                Acsr,
+                dtype=dt,
+                dense_thre=opts.dense_thre,
+                dense_sz_thre=opts.dense_sz_thre,
+                switch_to_dense=opts.switch_to_dense and (l > 0 or use_dense),
+                smooth_dtype=sm_dt,
+            )
+        else:
+            Adev = device_matrix_from_csr(
+                Acsr,
+                dtype=dt,
+                dense_thre=opts.dense_thre,
+                dense_sz_thre=opts.dense_sz_thre,
+                switch_to_dense=opts.switch_to_dense and (l > 0 or use_dense),
+            )
     n = Acsr.shape[0]
     n_pad = pad_to(n)
     diag = Acsr.diagonal()
@@ -744,41 +822,54 @@ def _level_task(l, is_coarsest, csr_levels, Ps, Rs, structs, opts,
         if l == 0 and opts.eig > 0:
             eig = float(opts.eig)    # user-provided (ref set_eig)
         elif eig_futures is not None and l in eig_futures:
-            eig = float(eig_futures[l].result())
+            with tm.phase("eig_wait"):
+                eig = float(eig_futures[l].result())
         else:
-            eig = float(eig_max_invdiag_host(Acsr))
+            with tm.phase("eig"):
+                eig = float(eig_max_invdiag_host(Acsr))
 
     P_dev = R_dev = None
     if not is_coarsest and not skip_transfers:
+        _t0_pr = time.perf_counter()
         dt_next = low_dtype if (opts.float_storage
                                 and (l + 1) >= opts.float_level) else dtype
         struct = structs[l] if structs else None
-        if struct is not None and jax.default_backend() != "cpu":
+        # "force" builds structural transfers whenever eligible, skipping
+        # the backend gate and the time estimates — the CPU-CI hook for the
+        # TPU-only branch (ADVICE r4: it was otherwise untested on CPU)
+        force_struct = opts.structural_transfers == "force"
+        if struct is not None and (force_struct
+                                   or jax.default_backend() != "cpu"):
             from saena_tpu.ops.formats import (
                 gather_time_estimate, gather_time_estimate_quick)
             from saena_tpu.ops.transfers import (
                 build_structural, structural_estimate)
             agg, wq = struct
             n_c = csr_levels[l + 1].shape[0]
-            est_s = structural_estimate(agg, n_c, Adev, dt)
-            # cheap gate first: when the structural path beats even a 3x
-            # optimistic direct estimate, skip the exact probe — the
-            # strip8 planner walks every nonzero of P AND R only to have
-            # its answer discarded (it was ~1 s/level of the 48^3 setup)
-            est_dq = (gather_time_estimate_quick(Ps[l], dt_next)
-                      + gather_time_estimate_quick(Rs[l], dt_next))
-            if np.isfinite(est_s) and est_s < est_dq / 3.0:
+            if force_struct:
                 P_dev, R_dev = build_structural(
                     agg, n_c, wq, Adev, int(Ps[l].nnz), dt, dt_next)
             else:
-                est_d = (gather_time_estimate(Ps[l], dt_next)
-                         + gather_time_estimate(Rs[l], dt_next))
-                if est_s < est_d and np.isfinite(est_s):
+                est_s = structural_estimate(agg, n_c, Adev, dt)
+                # cheap gate first: when the structural path beats even a
+                # 3x optimistic direct estimate, skip the exact probe —
+                # the strip8 planner walks every nonzero of P AND R only
+                # to have its answer discarded (~1 s/level of 48^3 setup)
+                est_dq = (gather_time_estimate_quick(Ps[l], dt_next)
+                          + gather_time_estimate_quick(Rs[l], dt_next))
+                if np.isfinite(est_s) and est_s < est_dq / 3.0:
                     P_dev, R_dev = build_structural(
                         agg, n_c, wq, Adev, int(Ps[l].nnz), dt, dt_next)
+                else:
+                    est_d = (gather_time_estimate(Ps[l], dt_next)
+                             + gather_time_estimate(Rs[l], dt_next))
+                    if est_s < est_d and np.isfinite(est_s):
+                        P_dev, R_dev = build_structural(
+                            agg, n_c, wq, Adev, int(Ps[l].nnz), dt, dt_next)
         if P_dev is None:
             P_dev = _transfer_from_csr(Ps[l], dt_next)
             R_dev = _transfer_from_csr(Rs[l], dt_next)
+        tm.add("devicify_PR", time.perf_counter() - _t0_pr)
 
     # inv_diag carries the VECTOR dtype: smoother/residual arithmetic
     # stays full-precision while A/P/R matvecs run reduced (ref

@@ -318,17 +318,26 @@ def _gmres_device(hierarchy: Hierarchy, params: SolveParams, rhs, tol,
 
             Hcol = jax.lax.fori_loop(0, m, giv, Hcol)
             d = jnp.hypot(Hcol[k], Hcol[k + 1])
-            ck = Hcol[k] / d
-            sk = Hcol[k + 1] / d
+            # total breakdown (Hcol[k]==h_next==0: w exactly in span(V)
+            # with no diagonal left): a 0/0 rotation would poison H/g with
+            # NaN (ADVICE r4). Mask to the identity rotation, give column
+            # k a unit diagonal and a ZERO rhs so the padded triangular
+            # solve returns y[k] = 0 exactly, and fold into brk — the
+            # restart loop then recomputes the true residual and carries on.
+            dz = d <= tiny
+            d_safe = jnp.where(dz, 1.0, d)
+            ck = jnp.where(dz, 1.0, Hcol[k] / d_safe)
+            sk = jnp.where(dz, 0.0, Hcol[k + 1] / d_safe)
             cs = cs.at[k].set(ck)
             sn = sn.at[k].set(sk)
-            Hcol = Hcol.at[k].set(d).at[k + 1].set(0.0)
+            Hcol = Hcol.at[k].set(d_safe).at[k + 1].set(0.0)
             H = H.at[:, k].set(Hcol[:m + 1])
-            g = g.at[k + 1].set(-sk * g[k]).at[k].set(ck * g[k])
+            g = g.at[k + 1].set(-sk * g[k]) \
+                 .at[k].set(jnp.where(dz, 0.0, ck * g[k]))
             rn_new = jnp.abs(g[k + 1])
             hist = hist.at[it + 1].set(rn_new)
             return (k + 1, V, Z, H, g, cs, sn, rn_new, it + 1, hist,
-                    h_next <= tiny)
+                    (h_next <= tiny) | dz)
 
         k, V, Z, H, g, cs, sn, rn, it, hist, brk = jax.lax.while_loop(
             arn_cond, arn_body,

@@ -237,12 +237,29 @@ class AMG:
         return self._run(_solvers.solve_GMRES, **kw)
 
     # ---- lazy updates (ref saena.hpp:236-241, saena_object_lazy.cpp) ----
+    def _strip_boundary(self, csr):
+        """Mirror set_matrix's boundary removal on a lazily-updated matrix:
+        when the hierarchy was built with remove_boundary, the stored
+        interior/bound index sets (pattern-only, so a same-pattern value
+        refresh preserves them) slice the new FULL matrix down to the
+        interior system and refresh the cached boundary diagonal (u_b =
+        rhs_b / diag_b uses the NEW values). Without this, update1/2/3
+        after a remove_boundary setup fed a full-size level 0 into an
+        interior-sized hierarchy (caught by the round-5 verify drive)."""
+        if self._bound is None:
+            return csr
+        interior, bound, bound_diag, n_full = self._bound
+        if csr.shape[0] != n_full:
+            return csr   # caller already passes an interior-sized matrix
+        self._bound = (interior, bound, csr.diagonal()[bound], n_full)
+        return csr[interior][:, interior].tocsr()
+
     def update1(self, A_new: Matrix) -> "AMG":
         """Replace only the finest-level values (same pattern)."""
         if self.info is None:
             raise ValueError("set_matrix() first")
         old = self._snapshot()
-        self.info.csr_levels[0] = A_new.csr
+        self.info.csr_levels[0] = self._strip_boundary(A_new.csr)
         self._matrix = A_new
         self._redevicify(old)
         return self
@@ -252,7 +269,7 @@ class AMG:
         if self.info is None:
             raise ValueError("set_matrix() first")
         old = self._snapshot()
-        csr = A_new.csr
+        csr = self._strip_boundary(A_new.csr)
         levels = [csr]
         for l, (P, R) in enumerate(zip(self.info.Ps, self.info.Rs)):
             Ac = galerkin_product(R, levels[-1], P)
@@ -283,7 +300,7 @@ class AMG:
             raise ValueError("set_matrix() first")
         snap = self._snapshot()
         old = self.info.csr_levels[0]
-        csr = A_new.csr
+        csr = self._strip_boundary(A_new.csr)
         if old.shape != csr.shape:
             return self.update2(A_new)
         D = (csr - old).tocsr()
@@ -426,11 +443,16 @@ class AMG:
         subset shrinks by values[l] (0/1 = automatic decision)."""
         self.opts.shrink_values = tuple(int(v) for v in values)
 
-    def switch_repart(self, *_a, **_k) -> None:
-        pass
+    def switch_repart(self, val: bool = True) -> None:
+        """Enable/disable the density-triggered equi-row partition switch
+        (ref saena::amg::switch_repart, saena.cpp:717 ->
+        saena_object.h:136). Takes effect on the next setup/shard."""
+        self.opts.switch_repart = bool(val)
 
-    def set_repart_thre(self, *_a, **_k) -> None:
-        pass
+    def set_repart_thre(self, thre: float) -> None:
+        """Density threshold for the equi-row switch (ref set_repart_thre,
+        saena_object_repart_shrink.cpp:539)."""
+        self.opts.repart_thre = float(thre)
 
     def destroy(self) -> None:
         self.hierarchy = None

@@ -92,7 +92,9 @@ class Options:
     structural_transfers: bool = True  # apply SA transfers as P_t +/- the level's
                                        # own A matvec (P=(I-wQA)P_t decomposed,
                                        # ops/transfers.py) when cheaper than
-                                       # streaming P/R directly; needs symmetric A
+                                       # streaming P/R directly; needs symmetric A.
+                                       # "force" builds them whenever eligible
+                                       # (skips backend/time gates; CPU-CI hook)
     smooth_dtype: str = ""             # when set (e.g. "bfloat16"), smoother/
                                        # residual matvecs INSIDE the V-cycle
                                        # use a reduced-precision copy of each
@@ -118,6 +120,19 @@ class Options:
                                        # forces a shard count; 0 = serial
 
     # ---- parallel policy (TPU-native analogs of shrink/repart) ----
+    switch_repart: bool = True         # density-triggered equi-ROW partition
+                                       # switch (ref switch_repart,
+                                       # saena_object.h:136 + setup2.cpp:292:
+                                       # when on and density >= repart_thre
+                                       # the next level splits by rows, not
+                                       # nnz). Reference default is false; ours
+                                       # is on because equi-row on dense coarse
+                                       # levels maps better onto the 128-padded
+                                       # device layout (same split either way
+                                       # for the sparse fine levels)
+    repart_thre: float = 0.1           # density threshold for the switch
+                                       # (ref repart_thre, saena_object.h:137;
+                                       # set_repart_thre, repart_shrink.cpp:539)
     replicate_threshold: int = 5000    # coarse levels below this global size are replicated
                                        # (analog of processor shrinking to 1 rank, shrink.cpp:67)
     shrink_comm_ratio: float = 0.5     # replicate a level when its worst-device

@@ -731,22 +731,22 @@ def _colpanel_parts(A: sp.spmatrix, itemsize: int):
     return res
 
 
-def colpanels_from_csr(A: sp.spmatrix, dtype=jnp.float32,
+def colpanels_from_csr(A: sp.spmatrix, dtype=jnp.float32, _builders=None,
                        smooth_dtype=None):
     """Build the column-panelled composite; each panel gets the fastest
     gather format for its own column range.
 
     When the caller came through ``_colpanel_pick`` (format selection), the
-    per-panel builder choices made UNDER THE CALLER'S BYTE CAPS are memoized
-    on the matrix and reused here, so estimate and build never diverge
-    (ADVICE r3: the old path re-picked with uncapped budgets)."""
+    per-panel builder choices made UNDER THE CALLER'S BYTE CAPS arrive via
+    ``_builders`` (bound into the returned partial), so estimate and build
+    never diverge — including across picks made under DIFFERENT caps for
+    the same matrix (ADVICE r3/r4: an on-matrix memo keyed without the caps
+    could be overwritten by a later pick)."""
     isz = jnp.dtype(dtype).itemsize
     parts = _colpanel_parts(A, isz)
     n, m = A.shape
     m_pad = pad_to(m)
-    memo = getattr(A, "_saena_colpanel_builders", None)
-    builders = memo[1] if (memo is not None
-                           and memo[0] == (A.shape, A.nnz, isz)) else None
+    builders = _builders
     built, starts, widths = [], [], []
     for i, (c0, p) in enumerate(parts):
         if builders is not None:
@@ -805,11 +805,7 @@ def _colpanel_pick(A, dtype, max_bytes, max_bytes_per_nnz):
     cap = min(max_bytes, max_bytes_per_nnz * max(1, A.nnz))
     if total_b > cap:
         return float("inf"), None
-    try:
-        A._saena_colpanel_builders = ((A.shape, A.nnz, isz), tuple(builders))
-    except AttributeError:
-        pass
-    return total_t, colpanels_from_csr
+    return total_t, partial(colpanels_from_csr, _builders=tuple(builders))
 
 
 def _pick_gather(A, dtype, max_bytes, max_bytes_per_nnz):

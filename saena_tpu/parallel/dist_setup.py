@@ -589,17 +589,22 @@ def coarsen_dist(A: sp.csr_matrix, lvl: int, opts: Options, n_shards: int,
     """Shard-parallel coarsen_csr: same contract, bitwise-identical output.
     The row split is nnz-balanced per level (repartition_nnz,
     saena_matrix_repart.cpp) — shard boundaries never affect results."""
+    from saena_tpu.amg.hierarchy import _timer
+
     n = A.shape[0]
-    split = nnz_balanced_split(A, n_shards)
+    tm = _timer()
+    split = nnz_balanced_split(A, n_shards, opts.repart_thre,
+                               opts.switch_repart)
     A_slices = _slices(A, split)
-    if opts.aggregation == "double":
-        agg, n_c, theta, home = _dist_aggregation_double(
-            A_slices, split, opts.connStrength, opts.adaptive_coarsening,
-            pool, meter)
-    else:
-        agg, n_c, theta, _, home = _dist_find_aggregation(
-            A_slices, split, opts.connStrength, opts.adaptive_coarsening,
-            pool, meter)
+    with tm.phase("aggregation"):
+        if opts.aggregation == "double":
+            agg, n_c, theta, home = _dist_aggregation_double(
+                A_slices, split, opts.connStrength, opts.adaptive_coarsening,
+                pool, meter)
+        else:
+            agg, n_c, theta, _, home = _dist_find_aggregation(
+                A_slices, split, opts.connStrength, opts.adaptive_coarsening,
+                pool, meter)
     if n_c == 0 or n_c >= n:
         return None
     last = False
@@ -608,20 +613,25 @@ def coarsen_dist(A: sp.csr_matrix, lvl: int, opts: Options, n_shards: int,
             last = True
         elif n_c / n > opts.row_reduction_up_thrshld:
             last = True
-    P_slices = _dist_prolongator(A_slices, split, agg, n_c,
-                                 opts.Pomega, opts.PSmoother, pool, meter)
-    # splitNew: coarse row c lives with its root's fine shard (ref
-    # aggregate_index_update + P.splitNew) — keeps R/Ac shards aligned with
-    # the fine shards that feed them, so the SpGEMM fetches stay halo-sized
-    split_c = np.searchsorted(home, split)
-    R_slices = _dist_transpose(P_slices, split, split_c, meter)
-    Ac_slices = _dist_galerkin(R_slices, A_slices, P_slices, split,
-                               pool, meter, codec)
-    P_h = _vstack(P_slices)
-    R_h = _vstack(R_slices)
-    Ac = _vstack(Ac_slices)
+    with tm.phase("prolongation"):
+        P_slices = _dist_prolongator(A_slices, split, agg, n_c,
+                                     opts.Pomega, opts.PSmoother, pool, meter)
+        # splitNew: coarse row c lives with its root's fine shard (ref
+        # aggregate_index_update + P.splitNew) — keeps R/Ac shards aligned
+        # with the fine shards that feed them, so SpGEMM fetches stay
+        # halo-sized
+        split_c = np.searchsorted(home, split)
+        R_slices = _dist_transpose(P_slices, split, split_c, meter)
+    with tm.phase("rap"):
+        Ac_slices = _dist_galerkin(R_slices, A_slices, P_slices, split,
+                                   pool, meter, codec)
+        P_h = _vstack(P_slices)
+        R_h = _vstack(R_slices)
+        Ac = _vstack(Ac_slices)
     meter.dist_levels += 1
-    P_h, R_h, Ac, agg, struct = coarsen_tail(A, P_h, R_h, Ac, agg, lvl, opts)
+    with tm.phase("coarsen_tail"):
+        P_h, R_h, Ac, agg, struct = coarsen_tail(A, P_h, R_h, Ac, agg, lvl,
+                                                 opts)
     return P_h, R_h, Ac, last, theta, struct
 
 

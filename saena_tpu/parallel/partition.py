@@ -23,7 +23,8 @@ def equal_row_split(n: int, d: int) -> np.ndarray:
 
 
 def subset_split(A: sp.csr_matrix, d_total: int, d_active: int,
-                 repart_thre: float = 0.1) -> np.ndarray:
+                 repart_thre: float = 0.1,
+                 switch_repart: bool = True) -> np.ndarray:
     """nnz-balanced split over only the FIRST ``d_active`` devices, padded to
     ``d_total + 1`` boundaries with empty trailing blocks. This is the
     device-subset analog of processor shrinking (ref shrink_cpu,
@@ -31,20 +32,23 @@ def subset_split(A: sp.csr_matrix, d_total: int, d_active: int,
     the rest go inactive) — inactive devices hold zero rows and contribute
     zero work and zero halo volume."""
     d_active = max(1, min(d_active, d_total))
-    inner = nnz_balanced_split(A, d_active, repart_thre)
+    inner = nnz_balanced_split(A, d_active, repart_thre, switch_repart)
     if d_active == d_total:
         return inner
     pad = np.full(d_total - d_active, A.shape[0], dtype=np.int64)
     return np.concatenate([inner, pad])
 
 
-def nnz_balanced_split(A: sp.csr_matrix, d: int, repart_thre: float = 0.1) -> np.ndarray:
-    """Row split with ~equal nnz per device. Falls back to equal rows when
-    density >= repart_thre (the reference's repart_row switch,
-    saena_object_setup2.cpp:292-298) or when the matrix is tiny."""
+def nnz_balanced_split(A: sp.csr_matrix, d: int, repart_thre: float = 0.1,
+                       switch_repart: bool = True) -> np.ndarray:
+    """Row split with ~equal nnz per device. When ``switch_repart`` is on,
+    falls back to equal rows when density >= repart_thre (the reference's
+    repart_row switch, saena_object_setup2.cpp:292-298, gated exactly like
+    its ``switch_repart && density >= repart_thre``); tiny matrices always
+    split by rows."""
     n = A.shape[0]
     density = A.nnz / max(1, n * n)
-    if density >= repart_thre or n < 4 * d:
+    if (switch_repart and density >= repart_thre) or n < 4 * d:
         return equal_row_split(n, d)
     csum = np.concatenate([[0], np.cumsum(np.diff(A.tocsr().indptr))])
     targets = (np.arange(1, d) * (A.nnz / d))

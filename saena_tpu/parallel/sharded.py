@@ -1203,7 +1203,10 @@ def shard_hierarchy(
                 return f
         return None
 
-    from saena_tpu.parallel.partition import subset_split
+    from saena_tpu.parallel.partition import subset_split as _subset_split
+
+    def subset_split(A, D, d):
+        return _subset_split(A, D, d, opts.repart_thre, opts.switch_repart)
 
     n_sharded = 0
     splits = []
@@ -1259,7 +1262,8 @@ def shard_hierarchy(
         n_sharded += 1
     if n_sharded == 0:  # always shard the finest level
         n_sharded = 1
-        splits = [nnz_balanced_split(csr_levels[0], D)]
+        splits = [nnz_balanced_split(csr_levels[0], D,
+                                     opts.repart_thre, opts.switch_repart)]
         d_active = [D]
         dia_plans = [None]
 

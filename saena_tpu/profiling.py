@@ -222,6 +222,15 @@ def profile_sharded_matvecs(sh, mesh, n_iter: int | None = None) -> list[dict]:
       local  = total - comm (local SpMV work, part4/5)
       total  = the full sharded matvec
 
+    On COMPRESSED configs (compress_halo / float_level wire) the rows carry
+    the reference's full SIX-part split — pack / compress / comm(wire) /
+    local / remote / decompress (VERDICT r4 #6): compress and decompress
+    come from cumulative pack->encode->decode stages (decode runs on the
+    locally-encoded buffer, identical shape/cost to the post-collective
+    one), comm is the exchange minus those legs, and local/remote split
+    the fused SpMV time by the halo-column nnz fraction (the TPU kernel
+    intentionally processes local+halo in one pass; see _remote_frac).
+
     Each phase is a chained jitted stage run INSIDE shard_map over the
     mesh, timed with the two-length value-fetch slope like everything else
     (block_until_ready does not synchronize through the axon tunnel)."""
@@ -237,13 +246,41 @@ def profile_sharded_matvecs(sh, mesh, n_iter: int | None = None) -> list[dict]:
         ph = {}
         plan = getattr(A, "plan", None)
         if plan is not None and plan.mode == "exchange":
-            if hasattr(A, "cols"):          # ShardedEll: scalar-slot pack
-                ph["pack"] = lambda A, v: _fold(
-                    v, jnp.take(v, A.plan.send_idx[0], axis=0))
-            else:                           # ShardedBsr: chunk pack
-                ph["pack"] = lambda A, v: _fold(
-                    v, jnp.take(v.reshape(-1, 128), A.plan.send_idx[0],
-                                axis=0))
+            chunked = not hasattr(A, "cols")
+
+            def _send(A, v):
+                idx = A.plan.send_idx[0]
+                return (jnp.take(v.reshape(-1, 128), idx, axis=0) if chunked
+                        else jnp.take(v, idx, axis=0))
+
+            ph["pack"] = lambda A, v: _fold(v, _send(A, v))
+            if plan.compress:
+                # compress/decompress legs (ref part6 + the ZFP
+                # compress leg, saena_matrix_matvec.cpp:553-634 /
+                # saena_matrix_zfp.cpp): cumulative stages pack->encode->
+                # decode; the decode runs on the locally-encoded buffer
+                # (identical shape/cost to the post-collective one, with
+                # no wire in the way)
+                from saena_tpu.parallel.halo import (int8_block_decode,
+                                                     int8_block_encode)
+                comp = plan.compress
+
+                def _enc(A, v):
+                    s = _send(A, v)
+                    if comp == "int8_block":
+                        return int8_block_encode(
+                            s.reshape(s.shape[0], -1) if chunked else s)
+                    return s.astype(jnp.dtype(comp))
+
+                def _dec(A, v):
+                    b = _enc(A, v)
+                    if comp == "int8_block":
+                        return int8_block_decode(b, v.dtype)
+                    return b.astype(v.dtype)
+
+                ph["pack_enc"] = lambda A, v: v.at[0].add(
+                    jnp.sum(_enc(A, v).astype(v.dtype)).astype(v.dtype))
+                ph["pack_enc_dec"] = lambda A, v: _fold(v, _dec(A, v))
             ph["comm"] = (lambda A, v: _fold(v, A.plan.extend(v))) \
                 if hasattr(A, "cols") else \
                 (lambda A, v: _fold(v, A.plan.extend_chunks(v)))
@@ -251,6 +288,29 @@ def profile_sharded_matvecs(sh, mesh, n_iter: int | None = None) -> list[dict]:
             ph["comm"] = lambda A, v: _fold(v, A._extend(v, False))
         ph["total"] = lambda A, v: A.matvec(v)
         return ph
+
+    def _remote_frac(A):
+        """Fraction of the level's nonzero column references that land in
+        the HALO region of the extended vector — the attribution key for
+        splitting SpMV time into the reference's part4 (local) and part5
+        (remote). The TPU kernels process local+halo in ONE fused pass
+        (documented re-design: a separate remote pass would re-stream the
+        operator), so the local/remote split is nnz-attributed at the
+        shared stream rate rather than separately timed."""
+        try:
+            if hasattr(A, "cols"):               # ShardedEll
+                cols = np.asarray(A.cols)
+                vals = np.asarray(A.vals)
+                valid = vals != 0
+                if not valid.any():
+                    return 0.0
+                return float((cols >= A.plan.n_local)[valid].mean())
+            if hasattr(A, "bcols"):              # ShardedBsr (chunk ids)
+                bcols = np.asarray(A.bcols)
+                return float((bcols >= A.plan.n_local // 128).mean())
+        except Exception:
+            pass
+        return None
 
     def _slope_sharded(step, A, n_iter, n_rows):
         @partial(jax.jit, static_argnames=("n",))
@@ -311,23 +371,51 @@ def profile_sharded_matvecs(sh, mesh, n_iter: int | None = None) -> list[dict]:
         if "pack" in times:
             row["pack_us"] = times["pack"] * 1e6
         if comm:
-            row["comm_us"] = comm * 1e6
-            row["local_us"] = max(0.0, times["total"] - comm) * 1e6
+            mv = max(0.0, times["total"] - comm)
+            if "pack_enc" in times:
+                # SIX-part split on compressed configs (ref
+                # saena_matrix_matvec.cpp:553-634 part1..part6): pack /
+                # compress / comm(wire) / local / remote / decompress
+                enc = max(0.0, times["pack_enc"] - times["pack"])
+                dec = max(0.0, times["pack_enc_dec"] - times["pack_enc"])
+                row["compress_us"] = enc * 1e6
+                row["decompress_us"] = dec * 1e6
+                row["comm_us"] = max(0.0, comm - times["pack_enc_dec"]) * 1e6
+            else:
+                row["comm_us"] = comm * 1e6
+            frac = _remote_frac(A)
+            if frac is None:
+                row["local_us"] = mv * 1e6
+            else:
+                row["local_us"] = mv * (1.0 - frac) * 1e6
+                row["remote_us"] = mv * frac * 1e6
         rows.append(row)
     return rows
 
 
 def format_sharded_profile(rows: list[dict]) -> str:
-    lines = ["lvl        n         nnz  format        pack_us  comm_us "
-             "local_us  total_us"]
+    six = any("compress_us" in r or "remote_us" in r for r in rows)
+    hdr = "lvl        n         nnz  format        pack_us "
+    if six:
+        hdr += " comp_us  comm_us local_us remot_us  dcmp_us  total_us"
+    else:
+        hdr += " comm_us local_us  total_us"
+    lines = [hdr]
     for r in rows:
-        lines.append(
-            f"{r['level']:<3} {r['n']:>8} {r['nnz']:>11}  "
-            f"{r['format']:<12} "
-            f"{r.get('pack_us', float('nan')):>8.2f} "
-            f"{r.get('comm_us', float('nan')):>8.2f} "
-            f"{r.get('local_us', float('nan')):>8.2f} "
-            f"{r['total_us']:>9.2f}")
+        line = (f"{r['level']:<3} {r['n']:>8} {r['nnz']:>11}  "
+                f"{r['format']:<12} "
+                f"{r.get('pack_us', float('nan')):>8.2f} ")
+        if six:
+            line += (f"{r.get('compress_us', 0.0):>8.2f} "
+                     f"{r.get('comm_us', float('nan')):>8.2f} "
+                     f"{r.get('local_us', float('nan')):>8.2f} "
+                     f"{r.get('remote_us', 0.0):>8.2f} "
+                     f"{r.get('decompress_us', 0.0):>8.2f} ")
+        else:
+            line += (f"{r.get('comm_us', float('nan')):>8.2f} "
+                     f"{r.get('local_us', float('nan')):>8.2f} ")
+        line += f"{r['total_us']:>9.2f}"
+        lines.append(line)
     return "\n".join(lines)
 
 

@@ -401,3 +401,29 @@ def test_mis1_native_matches_fixpoint():
         agg_f, roots_f = _aggregate_mis1_fixpoint(S_)
         assert np.array_equal(agg_n, agg_f)
         assert np.array_equal(roots_n, roots_f)
+
+
+def test_gmres_device_total_breakdown_no_nan():
+    """ADVICE r4: when A z lies exactly in span(V) with nothing left
+    (rotated Hcol[k] == h_next == 0) the Givens rotation hits 0/0; the
+    device engine must mask it instead of poisoning H/g with NaN. A
+    block-diagonal singular SPD-semidefinite operator with the rhs in its
+    nullspace triggers the breakdown on the very first Arnoldi step:
+    A r0 = 0."""
+    n = 128
+    A = sp.csr_matrix(sp.kron(sp.identity(n // 2),
+                              np.array([[1.0, 1.0], [1.0, 1.0]])))
+    rhs = np.tile([1.0, -1.0], n // 2)        # exact nullspace of A
+    assert np.abs(A @ rhs).max() == 0.0
+    hier, _ = H.setup(A, Options(remove_boundary=False))
+    params = H.SolveParams.from_options(Options())
+    r = S.solve_GMRES(hier, _pad(rhs, hier.n_pad), params=params,
+                      tol=1e-8, max_iter=5, restart=4,
+                      precondition=False, engine="device")
+    u = np.asarray(r.u)
+    assert np.isfinite(u).all()
+    assert np.isfinite(float(r.final_res))
+    assert np.isfinite(np.asarray(r.history)).all()
+    # no Krylov direction exists: the iterate must stay at u0 = 0 and the
+    # residual at ||rhs|| (not a NaN-contaminated fantasy)
+    np.testing.assert_allclose(u, 0.0, atol=1e-12)

@@ -292,3 +292,89 @@ def test_lazy_update_reuses_plans_and_eigs():
     u, res = solver.solve_pCG()
     rhs2 = np.asarray(solver._rhs)
     assert float(res.rel_res) < 1e-8
+
+
+def test_lazy_update_keeps_structural_transfer_operator():
+    """ADVICE r4 (medium): a values-only lazy update must keep structural
+    SmoothedP/R tied to the A they were SMOOTHED with — the identity
+    P = (I - wq*A_old)P_t matches the host Ps/Rs (which built the coarse
+    operators); re-pointing the embedded operator at the refreshed A would
+    diverge device P from host P and break R = P^T. Runs the TPU-only
+    structural branch on CPU via structural_transfers='force'."""
+    import scipy.sparse as sp
+
+    from saena_tpu import AMG, Matrix, Options, generators
+    from saena_tpu.ops.formats import pad_to
+    from saena_tpu.ops.transfers import SmoothedP, SmoothedR
+
+    A0 = generators.laplacian3D(14, 14, 14)
+    A = Matrix(); A.set_csr(A0); A.assemble()
+    solver = AMG()
+    solver.set_matrix(A, Options(remove_boundary=False,
+                                 structural_transfers="force"))
+    h0 = solver.hierarchy
+    P0, R0 = h0.levels[0].P, h0.levels[0].R
+    assert isinstance(P0, SmoothedP) and isinstance(R0, SmoothedR)
+
+    def dev_P_apply(P_dev, x_coarse):
+        xp = np.zeros(pad_to(P_dev.shape[1]))
+        xp[: x_coarse.size] = x_coarse
+        return np.asarray(P_dev.matvec(np.asarray(xp)))[: P_dev.shape[0]]
+
+    rng = np.random.default_rng(3)
+    xc = rng.standard_normal(P0.shape[1])
+    P_host = solver.info.Ps[0]
+    np.testing.assert_allclose(dev_P_apply(P0, xc), P_host @ xc,
+                               rtol=1e-10, atol=1e-12)
+
+    # values-only refresh (same pattern, symmetric): update1
+    A1 = A0.copy()
+    A1.data = A1.data * 1.7
+    M1 = Matrix(); M1.set_csr(A1); M1.assemble()
+    solver.update1(M1)
+    h1 = solver.hierarchy
+    P1 = h1.levels[0].P
+    # the old device P is grafted UNCHANGED (old embedded A and all)...
+    assert P1 is P0
+    assert h1.levels[0].R is R0
+    # ...so it still equals the host P the coarse operators were built with
+    np.testing.assert_allclose(dev_P_apply(P1, xc), P_host @ xc,
+                               rtol=1e-10, atol=1e-12)
+    # and the refreshed hierarchy still solves
+    rhs = A1 @ np.ones(A1.shape[0])
+    solver.set_rhs(rhs)
+    u, res = solver.solve_pCG()
+    assert np.linalg.norm(rhs - A1 @ u) / np.linalg.norm(rhs) < 1e-7
+
+
+def test_lazy_update_with_remove_boundary():
+    """Round-5 verify-drive regression: update1/2/3 after a
+    remove_boundary=True setup must slice the new FULL matrix down to the
+    stored interior system (and refresh the boundary diagonal) — the old
+    path fed a full-size level 0 into the interior-sized hierarchy and the
+    solve crashed with a shape error."""
+    from saena_tpu import AMG, Matrix, Options, generators
+
+    m = 14
+    A0 = generators.laplacian3D(m, m, m)
+    rhs0 = generators.laplacian3D_set_rhs(m, m, m)
+    A = Matrix(); A.set_csr(A0); A.assemble()
+    solver = AMG()
+    solver.set_matrix(A, Options(remove_boundary=True))
+    solver.set_rhs(rhs0)
+    u, res = solver.solve_pCG()
+    assert float(res.rel_res) < 1e-8
+
+    A1 = A0.tocsr().copy()
+    A1.data = A1.data * 2.0           # boundary diag scales too
+    M1 = Matrix(); M1.set_csr(A1); M1.assemble()
+    for upd in (solver.update1, solver.update2, solver.update3):
+        upd(M1)
+        rhs1 = A1 @ np.arange(A1.shape[0], dtype=np.float64)
+        solver.set_rhs(rhs1)
+        u1, res1 = solver.solve_pCG()
+        assert np.linalg.norm(rhs1 - A1 @ u1) / np.linalg.norm(rhs1) < 1e-7
+        # boundary rows solved with the NEW diagonal: u_b = rhs_b / (2 d_b)
+        interior, bound, bound_diag, n_full = solver._bound
+        np.testing.assert_allclose(u1[bound], rhs1[bound] / bound_diag,
+                                   rtol=1e-12)

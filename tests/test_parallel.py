@@ -6,6 +6,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+import scipy.sparse as sp
 from jax.sharding import PartitionSpec as P
 
 from saena_tpu.config import Options
@@ -43,6 +44,38 @@ def test_partition_balance():
 def test_equal_row_split():
     s = equal_row_split(10, 4)
     np.testing.assert_array_equal(np.diff(s), [3, 3, 2, 2])
+
+
+def test_repart_knobs_change_split():
+    """switch_repart / repart_thre are REAL knobs (ref saena.hpp:249-250):
+    flipping them flips a dense-enough matrix between equi-row and
+    nnz-balanced splits, end to end through the AMG surface."""
+    rng = np.random.default_rng(7)
+    n = 64
+    # skewed density: top rows dense, rest near-diagonal -> overall
+    # density ~0.26, and the nnz-balanced split differs from equi-row
+    Ad = np.diag(rng.uniform(1, 2, n))
+    Ad[: n // 4] = rng.uniform(0.1, 1.0, (n // 4, n))
+    Ad = Ad + Ad.T
+    A = sp.csr_matrix(Ad)
+    dens = A.nnz / (n * n)
+    assert 0.1 < dens < 0.9
+    s_on = nnz_balanced_split(A, 4, repart_thre=0.1, switch_repart=True)
+    s_off = nnz_balanced_split(A, 4, repart_thre=0.1, switch_repart=False)
+    np.testing.assert_array_equal(s_on, equal_row_split(n, 4))
+    assert not np.array_equal(s_off, s_on)
+    # raising the threshold past the density disables the switch too
+    s_hi = nnz_balanced_split(A, 4, repart_thre=dens + 0.05,
+                              switch_repart=True)
+    np.testing.assert_array_equal(s_hi, s_off)
+    # API surface mutates the live Options the next setup reads
+    from saena_tpu.api import AMG
+
+    amg = AMG()
+    amg.switch_repart(False)
+    amg.set_repart_thre(0.42)
+    assert amg.opts.switch_repart is False
+    assert amg.opts.repart_thre == 0.42
 
 
 @pytest.mark.parametrize("mode", ["exchange", "allgather"])

@@ -73,3 +73,34 @@ def test_profile_sharded_matvecs():
             assert r["local_us"] >= 0
     out = format_sharded_profile(rows)
     assert "total_us" in out and str(rows[0]["n"]) in out
+
+def test_profile_sharded_matvecs_six_part_compressed():
+    """VERDICT r4 #6: with halo compression active, profile rows carry the
+    reference's SIX-part matvec split — pack / compress / comm / local /
+    remote / decompress (saena_matrix_matvec.cpp:553-634)."""
+    from saena_tpu.core.coo import remove_boundary_nodes
+    from saena_tpu.parallel.sharded import make_mesh, shard_hierarchy
+    from saena_tpu.profiling import (format_sharded_profile,
+                                     profile_sharded_matvecs)
+
+    A0 = laplacian3D(16, 16, 16)
+    A, *_ = remove_boundary_nodes(A0, np.zeros(16 ** 3))
+    opts = Options(replicate_threshold=500, compress_halo=True,
+                   halo_dtype="int8_block")
+    hier, info = H.setup(A, opts)
+    mesh = make_mesh(8)
+    sh, splits = shard_hierarchy(info, opts, mesh, sharded_format="ell")
+    rows = profile_sharded_matvecs(sh, mesh, n_iter=4)
+    assert len(rows) == len(sh.sharded)
+    found_six = False
+    for r in rows:
+        if "compress_us" in r:
+            found_six = True
+            for k in ("pack_us", "compress_us", "comm_us", "local_us",
+                      "remote_us", "decompress_us"):
+                assert k in r and r[k] >= 0.0, k
+            # the halo-attributed remote share exists on a sharded stencil
+            assert r["remote_us"] >= 0.0
+    assert found_six, "no compressed level produced the six-part split"
+    out = format_sharded_profile(rows)
+    assert "comp_us" in out and "dcmp_us" in out
