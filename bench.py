@@ -280,6 +280,136 @@ def main():
     except Exception as e:            # scale mode must never break the bench
         scale = {"error": repr(e)}
 
+    # ---- suite: the remaining runnable BASELINE workloads (VERDICT r4 #2)
+    # — device matmat (config 3), banded kernels (config 2), Helmholtz P5
+    # p-coarsening (config 4); Poisson (configs 1/5) is the headline above.
+    suite = {}
+    REF_DATA = "/root/reference/data"
+
+    # (a) standalone SpGEMM on a Florida matrix through the device ring —
+    # the reference's first-class matmat benchmark (experiments/gemm.cpp;
+    # 20-iteration timed loop after warmups, setup_matmat.cpp:1178-1180).
+    # G55 is its designated SpGEMM fixture (zero diagonal — not solvable).
+    try:
+        from saena_tpu.io.readers import read_bin
+        from saena_tpu.ops.spgemm import matmat, matmat_prepare, matmat_run
+        from saena_tpu.parallel.sharded import make_mesh
+
+        G = read_bin(f"{REF_DATA}/FloridaCollection/G55.bin").tocsr()
+        mesh1 = make_mesh(1)
+        C_host = matmat(G, G, mesh1, dtype=jnp.float32)   # correctness pass
+        Ab, Bb, _ = matmat_prepare(G, G, mesh1, dtype=jnp.float32)
+
+        @partial(jax.jit, static_argnames=("n",))
+        def mm_chain(Ab, Bb, n):
+            def body(i, s):
+                C = matmat_run(Ab, Bb * (1.0 + 1e-30 * s), mesh1)
+                return s + C[0, 0, 0] * 1e-30
+            return jax.lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
+
+        def mm_slope(n_long=20):
+            float(mm_chain(Ab, Bb, 3))
+            float(mm_chain(Ab, Bb, n_long))
+            reps = []
+            for _ in range(3):
+                t0 = time.perf_counter(); float(mm_chain(Ab, Bb, 3))
+                ts = time.perf_counter() - t0
+                t0 = time.perf_counter(); float(mm_chain(Ab, Bb, n_long))
+                tl = time.perf_counter() - t0
+                reps.append((tl - ts) / (n_long - 3))
+            return max(1e-9, float(np.median(reps)))
+
+        mm_s = mm_slope()
+        flops = 2.0 * G.nnz * (G.nnz / G.shape[0])   # sparse-effective
+        suite["matmat_g55"] = {
+            "n": G.shape[0], "nnz_a": int(G.nnz), "nnz_c": int(C_host.nnz),
+            "matmat_ms": round(mm_s * 1e3, 3),
+            "gflops_sparse_eff": round(flops / mm_s / 1e9, 2),
+        }
+    except Exception as e:
+        suite["matmat_g55"] = {"error": repr(e)}
+
+    # (b) banded kernels (ref experiments/banded.cpp — SpMV + smoother on
+    # a band matrix, single chip): the DIA Pallas paths
+    try:
+        from saena_tpu.generators import band_matrix
+        from saena_tpu.ops.formats import device_matrix_from_csr, pad_to
+
+        Mb, bw = 100_000, 16
+        Ab_csr = band_matrix(Mb, bw).tocsr()
+        inv_nb = float(1.0 / np.abs(Ab_csr).sum(axis=1).max())
+        Ab_dev = device_matrix_from_csr(Ab_csr.multiply(inv_nb).tocsr(),
+                                        dtype=dtype)
+        nb_pad = pad_to(Mb)
+        xb = jnp.asarray(np.pad(
+            np.random.default_rng(1).standard_normal(Mb),
+            (0, nb_pad - Mb)), dtype=dtype)
+        est_b = Ab_csr.nnz * 12.0 / 819e9
+        sp_b, _ = _slope_reps(mv_chain, Ab_dev, xb, est_iter_s=est_b)
+
+        from saena_tpu.amg.smoothers import jacobi
+        # inverse diagonal of the SCALED operator; zero padding preserved
+        dinv_h = np.zeros(nb_pad)
+        dinv_h[:Mb] = 1.0 / (Ab_csr.diagonal() * inv_nb)
+        dinv = jnp.asarray(dinv_h, dtype=dtype)
+
+        @partial(jax.jit, static_argnames=("n",))
+        def sm_chain(Amat, dinv, x, n):
+            def body(i, v):
+                return jacobi(Amat, dinv, v, jnp.zeros_like(v), 1)
+            return jnp.sum(jax.lax.fori_loop(0, n, body, x))
+
+        sm_b, _ = _slope_reps(sm_chain, Ab_dev, dinv, xb,
+                              est_iter_s=2 * est_b)
+        suite["banded_100k_16"] = {
+            "n": Mb, "bandwidth": bw, "nnz": int(Ab_csr.nnz),
+            "format": type(Ab_dev).__name__,
+            "spmv_us": round(sp_b * 1e6, 2),
+            "spmv_nnz_per_s": round(Ab_csr.nnz / sp_b, 1),
+            "jacobi_us": round(sm_b * 1e6, 2),
+            "jacobi_nnz_per_s": round(Ab_csr.nnz / sm_b, 1),
+        }
+    except Exception as e:
+        suite["banded_100k_16"] = {"error": repr(e)}
+
+    # (c) Helmholtz P5 p-coarsening (ref saena_object_pcoarsen_modal.cpp):
+    # modal P-level chain + h-tail, pCG to 1e-8
+    try:
+        from saena_tpu.io.readers import read_bin
+        from saena_tpu.amg.pcoarsen import (detect_modal_blocks,
+                                            modal_block_plevels)
+
+        Hm = read_bin(f"{REF_DATA}/Helmholtz2D_CG_curved_tri/"
+                      "Helmholtz2D_CG_P5_Modes_curved_tri.bin").tocsr()
+        n_units = detect_modal_blocks(Hm, 5)
+        opts_h = Options(least_row_threshold=20)
+        t0 = time.perf_counter()
+        hier_h, info_h = H.setup(Hm, opts_h, dtype=dtype,
+                                 p_levels=modal_block_plevels(n_units, 5))
+        h_setup = time.perf_counter() - t0
+        rhs_h = Hm @ np.ones(Hm.shape[0])
+        rhs_hp = jnp.asarray(np.pad(rhs_h, (0, hier_h.n_pad - Hm.shape[0])),
+                             dtype=dtype)
+        params_h = H.SolveParams.from_options(opts_h)
+        res_h = S.solve_pCG(hier_h, rhs_hp, params=params_h, tol=1e-8,
+                            max_iter=100)
+        t0 = time.perf_counter()
+        out_h = S.solve_pCG(hier_h, rhs_hp, params=params_h, tol=1e-8,
+                            max_iter=100)
+        float(out_h.final_res)
+        h_solve = time.perf_counter() - t0
+        suite["helmholtz_p5"] = {
+            "n": Hm.shape[0], "nnz": int(Hm.nnz),
+            "setup_s": round(h_setup, 2),
+            "pcg_iters_to_1e8": int(res_h.iters),
+            "pcg_rel_res": float(res_h.rel_res),
+            "pcg_solve_ms": round(h_solve * 1e3, 2),
+            "levels": info_h.sizes,
+            "coarsen_kinds": info_h.coarsen_kinds,
+        }
+    except Exception as e:
+        suite["helmholtz_p5"] = {"error": repr(e)}
+
     # ---- kernel-time model self-check: modeled (the constants format
     # selection ranks with) vs measured per-level matvec times
     mcheck = []
@@ -325,7 +455,10 @@ def main():
             "setup_phases": {k: round(v, 2)
                              for k, v in sorted(
                                  getattr(info, "phases", {}).items(),
-                                 key=lambda kv: -kv[1])},
+                                 key=lambda kv: -kv[1])
+                             if k != "upload_mb"},
+            "setup_upload_mb": round(
+                getattr(info, "phases", {}).get("upload_mb", 0.0), 1),
             "setup_shards": getattr(info, "n_shards", 0),
             "setup_wire_mb": round(
                 getattr(info.comm, "total_bytes", 0) / 1e6, 3)
@@ -339,6 +472,7 @@ def main():
             "levels": info.sizes,
             "lean": lean,
             "scale": scale,
+            "suite": suite,
             "device": str(jax.devices()[0]),
         },
     }

@@ -82,7 +82,7 @@ def _build_and_load():
             ctypes.c_int64, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-            ctypes.c_void_p, ctypes.c_void_p]
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32]
         lib.spgemm_csr_finish.restype = None
         lib.spgemm_csr_finish.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -367,11 +367,13 @@ def csr_matvec(indptr, indices, data, x, out=None):
     return y
 
 
-def spgemm_csr(A, B):
+def spgemm_csr(A, B, nt: int = 0):
     """Native CSR x CSR product (spgemm.cpp): Gustavson with a stamped dense
     accumulator, OpenMP threads over FLOP-balanced contiguous row blocks.
     Returns a canonical scipy CSR (sorted indices, no duplicates), or None
     when no toolchain / the operands exceed int32 column indexing.
+    ``nt``: thread count (0 = OpenMP default); pass 1 from callers that
+    already run shard tasks in parallel (no core oversubscription).
 
     The host stand-in for the reference's mkl_dcsrmultcsr fast_mm base case
     (saena_object_setup_matmat.cpp:214); measured ~2-3x over torch-MKL and
@@ -398,7 +400,7 @@ def spgemm_csr(A, B):
         n, m,
         a_indptr.ctypes.data, a_indices.ctypes.data, a_values.ctypes.data,
         b_indptr.ctypes.data, b_indices.ctypes.data, b_values.ctypes.data,
-        rownnz.ctypes.data, ctypes.byref(nnz_out))
+        rownnz.ctypes.data, ctypes.byref(nnz_out), int(nt))
     nnz = int(nnz_out.value)
     c_indptr = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(rownnz, out=c_indptr[1:])

@@ -32,12 +32,16 @@ extern "C" {
 // thread-private buffers held in a heap context; caller then sizes its
 // output arrays and calls spgemm_csr_finish to copy them out and free the
 // context. c_rownnz (size n) receives per-row output counts.
+// nt_req: requested thread count; 0 = OpenMP default. Callers that are
+// THEMSELVES parallel (the shard-parallel setup pool) pass 1 so shard
+// tasks x OpenMP teams never oversubscribe the host cores.
 void *spgemm_csr_start(int64_t n, int64_t m,
                        const int64_t *a_indptr, const int32_t *a_indices,
                        const double *a_values,
                        const int64_t *b_indptr, const int32_t *b_indices,
                        const double *b_values,
-                       int64_t *c_rownnz, int64_t *nnz_out);
+                       int64_t *c_rownnz, int64_t *nnz_out,
+                       int32_t nt_req);
 void spgemm_csr_finish(void *ctx, const int64_t *c_indptr,
                        int32_t *c_indices, double *c_values);
 
@@ -63,9 +67,11 @@ void *spgemm_csr_start(int64_t n, int64_t m,
                        const double *a_values,
                        const int64_t *b_indptr, const int32_t *b_indices,
                        const double *b_values,
-                       int64_t *c_rownnz, int64_t *nnz_out) {
+                       int64_t *c_rownnz, int64_t *nnz_out,
+                       int32_t nt_req) {
 #ifdef _OPENMP
-    const int nt = std::max(1, omp_get_max_threads());
+    const int nt = nt_req > 0 ? (int)nt_req
+                              : std::max(1, omp_get_max_threads());
 #else
     const int nt = 1;
 #endif
@@ -173,6 +179,40 @@ void *spgemm_csr_start(int64_t n, int64_t m,
                     const double *brow =
                         Bd.data() + (size_t)a_indices[pa] * (size_t)m;
                     for (int64_t j = 0; j < m; ++j) acc[j] += av * brow[j];
+                }
+                int64_t cnt = 0;
+                for (int64_t j = 0; j < m; ++j) {
+                    if (stamp[j] == gen) {
+                        blk.idx.push_back((int32_t)j);
+                        blk.val.push_back(acc[j]);
+                        ++cnt;
+                    }
+                }
+                c_rownnz[i] = cnt;
+                continue;
+            }
+            if (flops >= m) {
+                // very dense row (>= one MAC per output column): TWO
+                // branch-free passes beat the stamped single pass — a
+                // pattern pass of pure 8 B stamp writes, then a value pass
+                // with no per-MAC stamp compare/branch (acc zero-filled:
+                // 0.0 + a*b == a*b exactly, so values keep the Gustavson
+                // accumulation order bit-for-bit; same -0.0-first-
+                // contribution caveat as the dense-B path). Measured 1.4x
+                // on the 48^3 level-2 A@P (the setup's hottest product).
+                for (int64_t pa = a_indptr[i]; pa < a_indptr[i + 1]; ++pa) {
+                    const int64_t kk = a_indices[pa];
+                    for (int64_t pb = b_indptr[kk]; pb < b_indptr[kk + 1];
+                         ++pb)
+                        stamp[b_indices[pb]] = gen;
+                }
+                std::fill(acc.begin(), acc.end(), 0.0);
+                for (int64_t pa = a_indptr[i]; pa < a_indptr[i + 1]; ++pa) {
+                    const int64_t kk = a_indices[pa];
+                    const double av = a_values[pa];
+                    for (int64_t pb = b_indptr[kk]; pb < b_indptr[kk + 1];
+                         ++pb)
+                        acc[b_indices[pb]] += av * b_values[pb];
                 }
                 int64_t cnt = 0;
                 for (int64_t j = 0; j < m; ++j) {

@@ -29,7 +29,8 @@ def _torch_csr(M: sp.csr_matrix):
         torch.from_numpy(M.data), size=M.shape)
 
 
-def _spgemm(X: sp.csr_matrix, Y: sp.csr_matrix) -> sp.csr_matrix:
+def _spgemm(X: sp.csr_matrix, Y: sp.csr_matrix,
+            nt: int = 0) -> sp.csr_matrix:
     """Host SpGEMM: the native Gustavson kernel when a toolchain exists
     (_native/spgemm.cpp — measured 2.2x torch-MKL / 2.6x scipy on the 48^3
     Poisson Galerkin levels), then torch's MKL-backed CPU kernel, then
@@ -37,7 +38,7 @@ def _spgemm(X: sp.csr_matrix, Y: sp.csr_matrix) -> sp.csr_matrix:
     mkl_dcsrmultcsr fast_mm base case (saena_object_setup_matmat.cpp:214)."""
     from saena_tpu import _native
 
-    Z = _native.spgemm_csr(X.tocsr(), Y.tocsr())
+    Z = _native.spgemm_csr(X.tocsr(), Y.tocsr(), nt=nt)
     if Z is not None:
         return Z
     try:

@@ -43,9 +43,21 @@ def pad_to(n: int, m: int = PAD) -> int:
 def to_device(arr, dtype):
     """Upload a host array at its FINAL dtype: casting on the host first
     halves the tunnel bytes and avoids a device-side convert_element_type
-    (~12 s of a 48^3 TPU setup was f64 uploads cast on device)."""
+    (~12 s of a 48^3 TPU setup was f64 uploads cast on device). Time is
+    accounted to the active setup PhaseTimer's "upload" phase (nested
+    inside devicify_A/devicify_PR — overlapping by design)."""
+    import time as _time
+
     import numpy as _np
-    return jnp.asarray(_np.asarray(arr, dtype=jnp.dtype(dtype)))
+    t0 = _time.perf_counter()
+    out = jnp.asarray(_np.asarray(arr, dtype=jnp.dtype(dtype)))
+    try:
+        from saena_tpu.amg.hierarchy import _timer
+        _timer().add("upload", _time.perf_counter() - t0)
+        _timer().add("upload_mb", out.nbytes / 1e6)
+    except Exception:
+        pass
+    return out
 
 
 def scatter_value_dtype(dtype, smooth_dtype=None):

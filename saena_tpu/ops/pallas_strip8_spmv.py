@@ -237,11 +237,14 @@ def _plan8(A: sp.spmatrix):
     Memoized on the matrix object keyed by (shape, nnz) — setup probes the
     same CSR from format selection, bytes estimates, and the final
     conversion (same contract/caveats as pallas_strip_spmv._pick_cached)."""
+    import time as _time
+
     A = A.tocsr()
     key = (A.shape, A.nnz)
     tok = getattr(A, "_saena_strip8_plan", None)
     if tok is not None and tok[0] == key:
         return tok[1]
+    _t0 = _time.perf_counter()
     # read the panel hint BEFORE the sort-copy: A.copy() drops attributes,
     # and an unsorted panel silently falling back to the 6-candidate sweep
     # could pick a general-mode plan past the SMEM budget validated by
@@ -261,6 +264,38 @@ def _plan8(A: sp.spmatrix):
              [(pr, mode, w) for pr in _PERROW8
               for mode, w in (("interval", _COST_INTERVAL),
                               ("general", _COST_GENERAL))])
+    # Large operators rank the candidate sweep on a STRATIFIED row sample
+    # (every stride-th 1024-row segment, rows rebased — whole segments so
+    # the row-block structure every perrow candidate tiles over is
+    # preserved; CLAUDE.md: a leading contiguous window misplans) and run
+    # the full-pattern planner ONLY for the winner: the 6-candidate full
+    # sweep was ~1.4 s of the 48^3 TPU setup. The pick is perf-only —
+    # the full plan always re-runs on the real pattern.
+    if len(cands) > 1 and coo.nnz > 500_000:
+        _SEG, _STRIDE = 1024, 8
+        seg = coo.row // _SEG
+        keep = (seg % _STRIDE) == 0
+        if keep.any() and not keep.all():
+            srow = (seg[keep] // _STRIDE) * _SEG + coo.row[keep] % _SEG
+            scol = coo.col[keep]
+            n_s = min(n, int(((n - 1) // _SEG // _STRIDE) * _SEG + _SEG))
+
+            class _S:  # minimal coo-like view for _plan8_one
+                row, col = srow, scol
+            ranked = []
+            for pr, mode, w in cands:
+                p = _plan8_one(_S, n_s, m, pr, mode)
+                if p is not None:
+                    ranked.append((p[3].shape[0] * w, pr, mode, w))
+            ranked.sort()
+            # only the sampled winner gets the full plan; fall through to
+            # the next-ranked candidate if the full pattern rejects it
+            for _, pr, mode, w in ranked:
+                p = _plan8_one(coo, n, m, pr, mode)
+                if p is not None:
+                    best, best_cost = (coo, p), p[3].shape[0] * w
+                    cands = []
+                    break
     for pr, mode, w in cands:
         p = _plan8_one(coo, n, m, pr, mode)
         if p is None:
@@ -272,6 +307,11 @@ def _plan8(A: sp.spmatrix):
     try:
         orig._saena_strip8_plan = (key, res)   # memo on the CALLER's matrix
     except AttributeError:
+        pass
+    try:      # setup-budget accounting (nested inside devicify_A/PR)
+        from saena_tpu.amg.hierarchy import _timer
+        _timer().add("plan_strip8", _time.perf_counter() - _t0)
+    except Exception:
         pass
     return res
 

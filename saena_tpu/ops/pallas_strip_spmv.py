@@ -325,8 +325,15 @@ def _pick_cached(A: sp.spmatrix, perrow: int | None = None):
     tok = getattr(A, "_saena_strip_pick", None)
     if tok is not None and tok[0] == key:
         return tok[1]
+    import time as _time
+    _t0 = _time.perf_counter()
     coo = A.tocoo()
     res = _pick_candidate(coo.row, coo.col, A.shape[0], A.shape[1])
+    try:      # setup-budget accounting (nested inside devicify_A/PR)
+        from saena_tpu.amg.hierarchy import _timer
+        _timer().add("plan_strip", _time.perf_counter() - _t0)
+    except Exception:
+        pass
     try:
         A._saena_strip_pick = (key, res)
     except AttributeError:

@@ -561,7 +561,8 @@ def _dist_galerkin(R_slices, A_slices, P_slices, split, pool, meter,
             return sp.csr_matrix((Ash.shape[0], n_c))
         need = np.unique(Ash.indices)
         Pn = _fetch_rows(P_slices, split, need, p, meter, "spgemm", codec)
-        return _spgemm(_relabel(Ash, need), Pn)
+        # nt=1: the shard tasks themselves run in parallel on the pool
+        return _spgemm(_relabel(Ash, need), Pn, nt=1)
 
     W_slices = list(pool.map(w_task, range(len(A_slices))))
 
@@ -571,7 +572,7 @@ def _dist_galerkin(R_slices, A_slices, P_slices, split, pool, meter,
             return sp.csr_matrix((Rsh.shape[0], n_c))
         need = np.unique(Rsh.indices)
         Wn = _fetch_rows(W_slices, split, need, q, meter, "spgemm", codec)
-        Ac = _spgemm(_relabel(Rsh, need), Wn)
+        Ac = _spgemm(_relabel(Rsh, need), Wn, nt=1)
         Ac.sum_duplicates()
         Ac.sort_indices()
         return Ac
@@ -645,6 +646,7 @@ def dist_setup(
     use_dense: bool = False,
     p_levels: Optional[list] = None,
     wire_codec: str = "gr",
+    dense_serial_thre: float = 0.01,
 ) -> tuple[Hierarchy, SetupInfo]:
     """Shard-parallel hierarchy setup: drop-in for hierarchy.setup with a
     BITWISE-IDENTICAL result. ``info.comm`` carries the CommMeter. Levels
@@ -655,6 +657,16 @@ def dist_setup(
     SpGEMM window exactly as the reference's compressed matmat ring does
     (GR_encoder on the index streams, setup_matmat.cpp:1986-2103); "none"
     ships raw CSR windows. Lossless either way — the hierarchy is identical.
+
+    ``dense_serial_thre``: coarse levels DENSER than this fraction run the
+    serial coarsen even above the row threshold — the setup-side analog of
+    the reference's processor shrinking (shrink_cpu gathers small/dense
+    coarse levels onto few ranks, saena_matrix_shrink.cpp:167). On a dense
+    operator the Galerkin intermediate W = A@P has near-dense rows, so the
+    distributed product ships W windows ~the size of the whole product
+    (measured 70 of the 100 MB 48^3 setup wire came from the two dense
+    coarse levels) while the FLOP win of D-way sharding is bounded; the
+    fine sparse levels — where the wire IS halo-sized — stay distributed.
     """
     import os
     opts = opts or Options()
@@ -663,7 +675,9 @@ def dist_setup(
     meter = CommMeter()
     with ThreadPoolExecutor(max_workers=max_workers or n_shards) as pool:
         def fn(Acur, lvl, o):
-            if Acur.shape[0] < n_shards * tail_rows:
+            n = Acur.shape[0]
+            if n < n_shards * tail_rows or \
+                    Acur.nnz >= dense_serial_thre * n * n:
                 return coarsen_csr(Acur, lvl, o)
             return coarsen_dist(Acur, lvl, o, n_shards, pool, meter,
                                 wire_codec)
