@@ -483,6 +483,15 @@ def bsr_block_width(rows: np.ndarray, cols: np.ndarray,
     n_bc = pad_to(shape[1]) // 128
     if rows.size == 0:
         return n_br, 1
+    if n_br * n_bc <= 3 * 10**7:
+        # flat-bincount occupancy: O(nnz + n_br*n_bc) with no CSR
+        # build/dedup sort (the csr-constructor path was 1.2 s of the
+        # 48^3 setup across the RCM compares); the dense grid gate keeps
+        # the counts array bounded for multi-million-row operators
+        key = (rows.astype(np.int64) // 8) * n_bc + cols // 128
+        occ = np.bincount(key, minlength=n_br * n_bc) > 0
+        W = max(1, int(occ.reshape(n_br, n_bc).sum(axis=1).max()))
+        return n_br, W
     pat = sp.csr_matrix(
         (np.ones(rows.size, dtype=np.int8),
          (rows // 8, cols // 128)), shape=(n_br, n_bc))

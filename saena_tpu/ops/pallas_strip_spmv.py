@@ -415,16 +415,24 @@ def strip_bytes_estimate(A: sp.spmatrix, dtype=jnp.float32) -> int:
     return int(padded * 8 * 128 * (1 + jnp.dtype(dtype).itemsize))
 
 
-STRIP_NS_PER_PAIR = 22.0  # v5e: A1 2176 pairs -> 47 us, R0 4800 -> 116 us
+# v5e AFFINE model, recalibrated r5 at >10k pairs per CLAUDE.md's rule
+# (the single 22 ns/pair constant was fit at 2-5k pairs and overestimated
+# the 48^3 level-2 operator 1.45x — model_check r4 ratio 0.689):
+#   measured A2_16 128 pairs -> 3.84 us, A1_16 256 -> 6.78,
+#   A2_48 11417 -> 234.3, P1+R1_48 53.9k -> 1299 (two chained kernels)
+#   => t = 1.25 us launch/prolog + 20.5 ns/pair (fits all four within
+#   1-15%; ratios land in [0.85, 1.01])
+STRIP_NS_PER_PAIR = 20.5
+STRIP_LAUNCH_S = 1.25e-6
 
 
 def strip_time_estimate(A: sp.spmatrix, dtype=jnp.float32) -> float:
     """Estimated matvec seconds. The strip kernel is VPU-op bound, not
-    byte bound: cost scales with GROUP-padded pair count at ~22 ns/pair
-    measured on v5e (fill cancels out). Used by time-based format
-    selection against strip8/BSR estimates."""
+    byte bound: cost = per-call launch/prolog + GROUP-padded pair count
+    at ~20.5 ns/pair measured on v5e (fill cancels out). Used by
+    time-based format selection against strip8/BSR estimates."""
     _, padded = _pick_cached(A.tocsr())
-    return padded * STRIP_NS_PER_PAIR * 1e-9
+    return STRIP_LAUNCH_S + padded * STRIP_NS_PER_PAIR * 1e-9
 
 
 def strip_supported(A: sp.spmatrix, dtype=jnp.float32,

@@ -108,10 +108,12 @@ def modeled_matvec_time(M):
         BSR_STREAM_BPS, BSR_TIME_FACTOR, BsrMatrix, ColPanels, RowPanels)
     from saena_tpu.ops.pallas_strip8_spmv import (
         STRIP8_NS_PER_TILE, Strip8Matrix)
-    from saena_tpu.ops.pallas_strip_spmv import STRIP_NS_PER_PAIR, StripMatrix
+    from saena_tpu.ops.pallas_strip_spmv import (STRIP_LAUNCH_S,
+                                                 STRIP_NS_PER_PAIR,
+                                                 StripMatrix)
 
     if isinstance(M, StripMatrix):
-        return M.vals.shape[0] * STRIP_NS_PER_PAIR * 1e-9
+        return STRIP_LAUNCH_S + M.vals.shape[0] * STRIP_NS_PER_PAIR * 1e-9
     if isinstance(M, Strip8Matrix):
         return M.idx.shape[0] * STRIP8_NS_PER_TILE[M.mode] * 1e-9
     if isinstance(M, BsrMatrix):
