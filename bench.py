@@ -325,6 +325,10 @@ def main():
             "n": G.shape[0], "nnz_a": int(G.nnz), "nnz_c": int(C_host.nnz),
             "matmat_ms": round(mm_s * 1e3, 3),
             "gflops_sparse_eff": round(flops / mm_s / 1e9, 2),
+            # the ring runs the dense MXU strategy at G55's density — the
+            # rate the MXU actually sustains on the shipped blocks
+            "tflops_dense_path": round(
+                2.0 * float(G.shape[0]) ** 3 / mm_s / 1e12, 2),
         }
     except Exception as e:
         suite["matmat_g55"] = {"error": repr(e)}

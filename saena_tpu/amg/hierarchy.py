@@ -474,22 +474,35 @@ def setup(
     Ps, Rs = [], []
     thetas, kinds, structs = [], [], []
 
+    submitted: set = set()
+
     def _submit_prior(csr_levels):
         # level l = len-2 just became non-coarsest: its eig Lanczos can run
         # now, behind the coarsening of deeper levels. Only eig is eager —
         # submitting the full device build here too was measured SLOWER
-        # (14.8 vs 11.8 s): the CPU-bound planners fight the Galerkin
-        # OpenMP team for the cores, stretching the critical path, while
-        # eig is one mostly-BLAS1 thread that fills scheduling gaps.
+        # in r3 (14.8 vs 11.8 s) AND AGAIN in r5 after the planner sweeps
+        # were sample-ranked and the SpGEMM made branch-free (interleaved
+        # A/B on the 48^3 TPU setup: eager 10.6-14.9 s vs lazy 9.5-10.9,
+        # with the rap phase inflating 5.0 -> 7.3 s — the build's packing
+        # memory traffic steals the 2 cores RAP needs; eig is one mostly-
+        # BLAS1 thread that fills scheduling gaps). SAENA_EAGER_BUILD
+        # opts in for experimentation on wider hosts, where spare cores
+        # could hide the build behind RAP (FIFO submission keeps the
+        # build's eig wait deadlock-free: eig_l always precedes build_l).
         l = len(csr_levels) - 2
-        if l < 0 or l in eig_futs:
+        if l < 0 or l in submitted:
             return
+        submitted.add(l)
         if (opts.smoother == "chebyshev"
                 and not (l == 0 and opts.eig > 0)):
             def _timed_eig(Acur=csr_levels[l]):
                 with _timer().phase("eig"):
                     return eig_max_invdiag_host(Acur)
             eig_futs[l] = exe.submit(_timed_eig)
+        if os.environ.get("SAENA_EAGER_BUILD"):
+            build_futs[l] = exe.submit(
+                _level_task, l, False, csr_levels, Ps, Rs, structs, opts,
+                dtype, use_dense, eig_futs)
 
     try:
         if p_levels:

@@ -84,6 +84,14 @@ class StripMatrix:
     n_rows_pad: int = _static(default=0)   # internal padding (n_sb*krb*RPT)
     n_cols_pad: int = _static(default=0)
     n_out: int = _static(default=0)        # caller's padded length (128-mult)
+    pick_pairs: int = _static(default=0)   # the planner's GROUP-padded pair
+                                           # count — the number the time
+                                           # model/format selection ranked
+                                           # with (vals.shape[0] carries
+                                           # extra superblock padding whose
+                                           # empty groups cost ~nothing;
+                                           # modeling on it overestimated
+                                           # the 48^3 L2 matvec 1.35x)
 
     @property
     def dtype(self):
@@ -351,7 +359,7 @@ def strip_from_csr(A: sp.spmatrix, dtype=jnp.float32,
     A = A.tocsr()
     n, m = A.shape
     coo = A.tocoo()
-    pr, _ = _pick_cached(A, perrow)
+    pr, pick_padded = _pick_cached(A, perrow)
     pln = _plan(coo.row, coo.col, n, m, pr)
     pr, krb, rpt = pln["perrow"], pln["krb"], pln["rpt"]
     Q = 128 // pr
@@ -400,7 +408,7 @@ def strip_from_csr(A: sp.spmatrix, dtype=jnp.float32,
         shape=(n, m), nnz=int(A.nnz),
         perrow=pr, krb=krb,
         n_rows_pad=n_rows_pad, n_cols_pad=n_cols_pad,
-        n_out=pad_to(n),
+        n_out=pad_to(n), pick_pairs=int(pick_padded),
     )
     if smooth_dtype is None:
         return M

@@ -113,7 +113,12 @@ def modeled_matvec_time(M):
                                                  StripMatrix)
 
     if isinstance(M, StripMatrix):
-        return STRIP_LAUNCH_S + M.vals.shape[0] * STRIP_NS_PER_PAIR * 1e-9
+        # model on the planner's pick count — the number selection ranked
+        # with; the built array's extra superblock padding is empty groups
+        # whose cost is ~zero (measured: 48^3 L2 235 us at 11.4k pick /
+        # 15.4k built pairs)
+        pairs = M.pick_pairs or M.vals.shape[0]
+        return STRIP_LAUNCH_S + pairs * STRIP_NS_PER_PAIR * 1e-9
     if isinstance(M, Strip8Matrix):
         return M.idx.shape[0] * STRIP8_NS_PER_TILE[M.mode] * 1e-9
     if isinstance(M, BsrMatrix):
