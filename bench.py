@@ -45,15 +45,23 @@ def _slope_reps(f, *args, est_iter_s: float = 5e-4):
     n_long = N_SHORT + int(np.clip(0.06 / max(est_iter_s, 1e-9), 100, 50_000))
     float(f(*args, n=N_SHORT))   # compile + first-exec upload
     float(f(*args, n=n_long))
-    reps = []
-    for _ in range(5):
+
+    def _rep():
         t0 = time.perf_counter()
         float(f(*args, n=N_SHORT))
         t_s = time.perf_counter() - t0
         t0 = time.perf_counter()
         float(f(*args, n=n_long))
         t_l = time.perf_counter() - t0
-        reps.append((t_l - t_s) / (n_long - N_SHORT))
+        return (t_l - t_s) / (n_long - N_SHORT)
+
+    reps = [_rep() for _ in range(5)]
+    # tunnel-jitter guard: when the 5-rep spread exceeds 15% of the
+    # median the draw is untrustworthy (RPC latency spikes through the
+    # tunnel swing 10x run to run) — take 5 more and use all 10; the
+    # spread is reported either way so no draw masquerades as clean
+    if _spread_pct(reps) > 15.0:
+        reps += [_rep() for _ in range(5)]
     return max(1e-9, float(np.median(reps))), reps
 
 
@@ -456,6 +464,12 @@ def main():
             "pcg_solve_ms_device": round(solve_dev_s * 1e3, 2),
             "rpc_floor_ms": round(rpc_s * 1e3, 2),
             "setup_s": round(setup_s, 2),
+            # wall minus tunnel-upload time: the number a production host
+            # (PCIe, not a dev tunnel) would see — the tunnel's upload
+            # bandwidth is bimodal (2 s vs 21 s observed for the same
+            # 256 MB), so wall alone is a lottery draw
+            "setup_host_s": round(
+                setup_s - getattr(info, "phases", {}).get("upload", 0.0), 2),
             "setup_phases": {k: round(v, 2)
                              for k, v in sorted(
                                  getattr(info, "phases", {}).items(),
