@@ -203,6 +203,11 @@ def strip8_spmv_xla(A: Strip8Matrix, x: jax.Array):
 _COST_GENERAL = 2.0
 _COST_INTERVAL = 1.0
 
+# above this nnz the candidate sweep ranks on a stratified row sample and
+# only the winner gets the full-pattern plan (module constant so tests can
+# lower it and compare sampled vs full picks)
+SAMPLE_SWEEP_NNZ = 500_000
+
 
 def _plan8_one(coo, n, m, perrow, mode):
     """Plan for one (perrow, mode) candidate (native core; the numpy
@@ -271,7 +276,7 @@ def _plan8(A: sp.spmatrix):
     # the full-pattern planner ONLY for the winner: the 6-candidate full
     # sweep was ~1.4 s of the 48^3 TPU setup. The pick is perf-only —
     # the full plan always re-runs on the real pattern.
-    if len(cands) > 1 and coo.nnz > 500_000:
+    if len(cands) > 1 and coo.nnz > SAMPLE_SWEEP_NNZ:
         _SEG, _STRIDE = 1024, 8
         seg = coo.row // _SEG
         keep = (seg % _STRIDE) == 0

@@ -185,3 +185,49 @@ def test_strip8_row_panels():
     assert Msm.dtype == jnp.bfloat16 and Msm.nnz == M32.nnz
     assert strip8_panels_time_estimate(A) > 0
     assert strip8_panels_bytes_estimate(A) > 0
+
+
+def test_sampled_sweep_pick_consistency(monkeypatch):
+    """The stratified-sample candidate ranking (SAMPLE_SWEEP_NNZ gate) must
+    (a) produce a VALID plan whose matvec is exact, and (b) pick a layout
+    whose planner cost is within 25% of the full 6-candidate sweep's
+    winner — sampling is perf-only, never correctness."""
+    import scipy.sparse as sp
+
+    from saena_tpu.core.coo import remove_boundary_nodes
+    from saena_tpu.generators import laplacian3D
+    from saena_tpu.ops import pallas_strip8_spmv as s8
+
+    A0 = laplacian3D(20, 20, 20)
+    A, *_ = remove_boundary_nodes(A0, np.zeros(20 ** 3))
+    A = (A + 0.01 * sp.random(A.shape[0], A.shape[0], density=0.0005,
+                              random_state=5, format="csr")).tocsr()
+    A = (A + A.T).tocsr()
+    A.sort_indices()
+    assert A.nnz > 20_000
+
+    def plan_cost(M):
+        res = s8._plan8(M.tocsr())
+        assert res is not None
+        coo, p = res
+        w = (s8._COST_INTERVAL if p[8] == "interval" else s8._COST_GENERAL)
+        return p[3].shape[0] * w, (p[7], p[8])
+
+    # full sweep (gate above nnz)
+    monkeypatch.setattr(s8, "SAMPLE_SWEEP_NNZ", 10 ** 12)
+    cost_full, pick_full = plan_cost(A.copy())
+    # sampled sweep (gate below nnz)
+    monkeypatch.setattr(s8, "SAMPLE_SWEEP_NNZ", 1)
+    As = A.copy()
+    cost_samp, pick_samp = plan_cost(As)
+    assert cost_samp <= 1.25 * cost_full, (pick_full, pick_samp,
+                                           cost_full, cost_samp)
+    # the sampled winner's FULL plan yields an exact matvec
+    S = s8.strip8_from_csr(As, dtype=jnp.float64)
+    x = np.random.default_rng(0).standard_normal(S.n_cols_pad
+                                                 if hasattr(S, "n_cols_pad")
+                                                 else A.shape[1])
+    from saena_tpu.ops.formats import pad_to
+    xp = np.zeros(pad_to(A.shape[1])); xp[:A.shape[1]] = x[:A.shape[1]]
+    y = np.asarray(S.matvec(jnp.asarray(xp)))[:A.shape[0]]
+    np.testing.assert_allclose(y, A @ xp[:A.shape[1]], rtol=1e-12)
