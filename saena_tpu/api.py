@@ -405,10 +405,19 @@ class AMG:
         return out
 
     def solve_pCG_profile(self, **kw):
-        """pCG solve + phase report (ref solve_pCG_profile, solve.cpp:2804):
-        returns (u, SolveResult, breakdown dict)."""
+        """pCG solve + phase report (ref solve_pCG_profile,
+        saena_object_solve.cpp:2804-3597): returns
+        (u, SolveResult, breakdown dict). The breakdown carries the
+        V-cycle component split (print_vcycle_time analog) plus
+        ``pcg_phases`` — the per-ITERATION pCG split the reference's
+        PROFILE_PCG accumulators report (precond apply / fine matvec /
+        dot-axpy tail / full iteration / other)."""
         u, res = self.solve_pCG(**kw)
         bd = self.profile_matvecs_breakdown(n_iter=5)
+        from saena_tpu.profiling import pcg_profile
+
+        bd["pcg_phases"] = pcg_profile(self.hierarchy, self.params,
+                                       n_iter=5)
         return u, res, bd
 
     def set_verbose(self, v: bool) -> None:

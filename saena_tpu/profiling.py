@@ -219,6 +219,45 @@ def vcycle_breakdown(hierarchy, params, rhs, n_iter: int | None = None,
     return out
 
 
+def pcg_profile(hierarchy, params, n_iter: int | None = None) -> dict:
+    """pCG per-iteration phase breakdown (ref solve_pCG_profile +
+    PROFILE_PCG accumulators, saena_object_solve.cpp:2804-3597): seconds
+    per iteration of the preconditioner apply (one V-cycle), the fine-level
+    matvec, and the dot/axpy tail, plus the full iteration body — each a
+    chained jitted stage timed by the fetch-time slope. ``other`` is the
+    iteration minus the accounted phases (launch gaps, extra arithmetic)."""
+    lv0 = hierarchy.levels[0]
+    A0 = lv0.A
+    x = jnp.ones(lv0.n_pad, dtype=lv0.dtype)
+    zeros = jnp.zeros_like(x)
+
+    def precond(v, h):
+        return vcycle(h, params, jnp.zeros_like(v), v)
+
+    def matvec(v, h):
+        return h.levels[0].A.matvec(v).astype(v.dtype)
+
+    def dots(v, h):
+        # the CG update tail: two vdots, a safe divide, one axpy
+        num = jnp.vdot(v, v)
+        den = num + 1.0
+        return v - (num / den) * v
+
+    def iteration(v, h):
+        rho = vcycle(h, params, jnp.zeros_like(v), v)
+        w = h.levels[0].A.matvec(rho).astype(v.dtype)
+        alpha = jnp.vdot(v, rho) / (jnp.vdot(rho, w) + 1.0)
+        return v - alpha * w
+
+    out = {}
+    for name, step in (("precond", precond), ("matvec", matvec),
+                       ("dots", dots), ("iteration", iteration)):
+        out[name] = _slope(step, x, hierarchy, n_long=n_iter)
+    out["other"] = max(0.0, out["iteration"] - out["precond"]
+                       - out["matvec"] - out["dots"])
+    return out
+
+
 def profile_sharded_matvecs(sh, mesh, n_iter: int | None = None) -> list[dict]:
     """Per-level, per-PHASE matvec breakdown on the sharded hierarchy
     (VERDICT r1 #9) — the analog of the reference's part1..part6 matvec

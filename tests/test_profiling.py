@@ -104,3 +104,22 @@ def test_profile_sharded_matvecs_six_part_compressed():
     assert found_six, "no compressed level produced the six-part split"
     out = format_sharded_profile(rows)
     assert "comp_us" in out and "dcmp_us" in out
+
+def test_pcg_profile_phases():
+    """AMG.solve_pCG_profile carries the per-iteration PROFILE_PCG split
+    (ref saena_object_solve.cpp:2804-3597) alongside the V-cycle
+    component breakdown."""
+    from saena_tpu import AMG, Matrix, Options
+
+    m = 12
+    A = Matrix(); A.set_csr(laplacian3D(m, m, m)); A.assemble()
+    s = AMG(); s.set_matrix(A, Options(remove_boundary=True))
+    rhs = A.csr @ np.ones(A.csr.shape[0])
+    s.set_rhs(rhs)
+    u, res, bd = s.solve_pCG_profile()
+    assert float(res.rel_res) < 1e-7
+    ph = bd["pcg_phases"]
+    for k in ("precond", "matvec", "dots", "iteration", "other"):
+        assert k in ph and ph[k] >= 0.0, (k, ph)
+    assert ph["iteration"] > 0 and ph["precond"] > 0
+    assert "smooth" in bd and "total" in bd
