@@ -261,7 +261,12 @@ def _plan(row, col, n, m, perrow):
         counts = np.bincount(pair_rb // krb, minlength=n_sb)
         padded = int(np.maximum(
             GROUP, ((counts + GROUP - 1) // GROUP) * GROUP).sum())
-        score = padded * (10.0 + krb / 2.0 + perrow / 4.0)
+        # rank candidates by MODELED TIME: measured ns/pair grows with
+        # perrow far faster than the old +perrow/4 nudge (see
+        # STRIP_NS_BY_PERROW — pairs-alone mis-ranked pr=2 over pr=1 on
+        # the 48^3 level-2 A, 219 vs 197 us); krb keeps its prior weight
+        score = padded * (STRIP_NS_BY_PERROW.get(perrow, 20.5)
+                          + krb / 2.0)
         if best is None or score < best[2]:
             best = (krb, padded, score)
     krb, padded_pairs, score = best
@@ -304,9 +309,18 @@ def _pick_candidate(row, col, n, m, perrow=None):
         if kept:
             ns = int(rs.max()) + 1
             plans = [_plan(rs, cs, ns, m, pr) for pr in cands]
-            best = min(plans, key=lambda p: p["score"])
-            return best["perrow"], int(
-                best["padded_pairs"] * nnz / max(1, kept))
+            plans.sort(key=lambda p: p["score"])
+            # sampling keeps per-rb pair counts exact but jitters the
+            # krb/GROUP-padding tradeoff, which can flip candidates whose
+            # modeled times are within ~10% (measured: pr=2 edged pr=1 on
+            # the 48^3 level-2 sample while the full pattern — and the
+            # kernel, 219 vs 197 us — prefer pr=1). FULL-plan the top two
+            # sampled candidates and decide on the full score; this also
+            # returns the build-exact padded count for the time estimate.
+            finals = [_plan(row, col, n, m, p["perrow"])
+                      for p in plans[:2]]
+            best = min(finals, key=lambda p: p["score"])
+            return best["perrow"], int(best["padded_pairs"])
     plans = [_plan(row, col, n, m, pr) for pr in cands]
     best = min(plans, key=lambda p: p["score"])
     return best["perrow"], int(best["padded_pairs"])
@@ -425,22 +439,28 @@ def strip_bytes_estimate(A: sp.spmatrix, dtype=jnp.float32) -> int:
 
 # v5e AFFINE model, recalibrated r5 at >10k pairs per CLAUDE.md's rule
 # (the single 22 ns/pair constant was fit at 2-5k pairs and overestimated
-# the 48^3 level-2 operator 1.45x — model_check r4 ratio 0.689):
-#   measured A2_16 128 pairs -> 3.84 us, A1_16 256 -> 6.78,
-#   A2_48 11417 -> 234.3, P1+R1_48 53.9k -> 1299 (two chained kernels)
-#   => t = 1.25 us launch/prolog + 20.5 ns/pair (fits all four within
-#   1-15%; ratios land in [0.85, 1.01])
-STRIP_NS_PER_PAIR = 20.5
+# the 48^3 level-2 operator 1.45x — model_check r4 ratio 0.689).
+# The per-pair cost depends on PERROW (more slots per row = more in-tile
+# select/blend work per pair), measured on the 48^3 level-2 A with each
+# perrow forced (BUILT pair counts):
+#   pr=1 17088 pairs -> 196.7 us (11.4 ns) | pr=2 15424 -> 219.2 (14.1)
+#   pr=4 14528 -> 290.3 (19.9)            | pr=8 14080 -> 327.7 (23.2)
+# small-op cross-check: A1_16 pr=4 256 pairs -> 6.78 us (21.6 net) fits.
+# pr=16 is extrapolated. Minimizing pairs ALONE mis-ranked pr=2 over
+# pr=1 on the hottest V-cycle operator (219 vs 197 us).
+STRIP_NS_BY_PERROW = {1: 11.4, 2: 14.1, 4: 19.9, 8: 23.2, 16: 30.0}
+STRIP_NS_PER_PAIR = 20.5          # legacy scalar (mid-perrow average)
 STRIP_LAUNCH_S = 1.25e-6
 
 
 def strip_time_estimate(A: sp.spmatrix, dtype=jnp.float32) -> float:
     """Estimated matvec seconds. The strip kernel is VPU-op bound, not
     byte bound: cost = per-call launch/prolog + GROUP-padded pair count
-    at ~20.5 ns/pair measured on v5e (fill cancels out). Used by
-    time-based format selection against strip8/BSR estimates."""
-    _, padded = _pick_cached(A.tocsr())
-    return STRIP_LAUNCH_S + padded * STRIP_NS_PER_PAIR * 1e-9
+    at the picked perrow's ns/pair (fill cancels out). Used by time-based
+    format selection against strip8/BSR estimates."""
+    pr, padded = _pick_cached(A.tocsr())
+    ns = STRIP_NS_BY_PERROW.get(pr, STRIP_NS_PER_PAIR)
+    return STRIP_LAUNCH_S + padded * ns * 1e-9
 
 
 def strip_supported(A: sp.spmatrix, dtype=jnp.float32,

@@ -109,16 +109,16 @@ def modeled_matvec_time(M):
     from saena_tpu.ops.pallas_strip8_spmv import (
         STRIP8_NS_PER_TILE, Strip8Matrix)
     from saena_tpu.ops.pallas_strip_spmv import (STRIP_LAUNCH_S,
+                                                 STRIP_NS_BY_PERROW,
                                                  STRIP_NS_PER_PAIR,
                                                  StripMatrix)
 
     if isinstance(M, StripMatrix):
-        # model on the planner's pick count — the number selection ranked
-        # with; the built array's extra superblock padding is empty groups
-        # whose cost is ~zero (measured: 48^3 L2 235 us at 11.4k pick /
-        # 15.4k built pairs)
-        pairs = M.pick_pairs or M.vals.shape[0]
-        return STRIP_LAUNCH_S + pairs * STRIP_NS_PER_PAIR * 1e-9
+        # BUILT pair count x the perrow's measured ns/pair (the r5
+        # calibration was taken against built counts; the pick's sampled
+        # count can underestimate the padding ~25%)
+        ns = STRIP_NS_BY_PERROW.get(M.perrow, STRIP_NS_PER_PAIR)
+        return STRIP_LAUNCH_S + M.vals.shape[0] * ns * 1e-9
     if isinstance(M, Strip8Matrix):
         return M.idx.shape[0] * STRIP8_NS_PER_TILE[M.mode] * 1e-9
     if isinstance(M, BsrMatrix):
