@@ -314,30 +314,40 @@ def _pick_candidate(row, col, n, m, perrow=None):
             # krb/GROUP-padding tradeoff, which can flip candidates whose
             # modeled times are within ~10% (measured: pr=2 edged pr=1 on
             # the 48^3 level-2 sample while the full pattern — and the
-            # kernel, 219 vs 197 us — prefer pr=1). FULL-plan the top two
-            # sampled candidates and decide on the full score; this also
-            # returns the build-exact padded count for the time estimate.
-            finals = [_plan(row, col, n, m, p["perrow"])
-                      for p in plans[:2]]
-            best = min(finals, key=lambda p: p["score"])
-            return best["perrow"], int(best["padded_pairs"])
+            # kernel, 219 vs 197 us — prefer pr=1). A CLOSE call (top two
+            # within 25%) records the runner-up so strip_from_csr can
+            # resolve it with full plans AT BUILD TIME — estimates stay
+            # sample-cheap (full-planning at pick time cost ~1.6 s of the
+            # 48^3 setup, mostly for operators where strip loses the
+            # format race and is never built).
+            best = plans[0]
+            runner = (plans[1]["perrow"]
+                      if len(plans) > 1
+                      and plans[1]["score"] <= 1.25 * best["score"]
+                      else None)
+            return (best["perrow"],
+                    int(best["padded_pairs"] * nnz / max(1, kept)),
+                    runner)
     plans = [_plan(row, col, n, m, pr) for pr in cands]
     best = min(plans, key=lambda p: p["score"])
-    return best["perrow"], int(best["padded_pairs"])
+    return best["perrow"], int(best["padded_pairs"]), None
 
 
 def _best_plan(row, col, n, m, perrow=None):
-    pr, _ = _pick_candidate(row, col, n, m, perrow)
+    pr, _, _ = _pick_candidate(row, col, n, m, perrow)
     return _plan(row, col, n, m, pr)
 
 
 def _pick_cached(A: sp.spmatrix, perrow: int | None = None):
-    """(perrow, padded_pairs) for a CSR, memoized ON the matrix object keyed
-    by (shape, nnz). The pick depends only on the sparsity pattern, and the
-    full _plan always re-runs on the actual pattern at conversion time, so a
-    stale cache entry can only cost optimality, never correctness. Setup
-    probes the same host CSR from format selection, bytes estimates, and the
-    final conversion — this collapses those repeated candidate sweeps."""
+    """(perrow, padded_pairs, runner_up_perrow|None) for a CSR, memoized ON
+    the matrix object keyed by (shape, nnz). ``runner_up_perrow`` is set
+    when a SAMPLED pick was too close to call (within 25%) — the build
+    resolves it with full plans; estimates use the sampled winner. The
+    pick depends only on the sparsity pattern, and the full _plan always
+    re-runs on the actual pattern at conversion time, so a stale cache
+    entry can only cost optimality, never correctness. Setup probes the
+    same host CSR from format selection, bytes estimates, and the final
+    conversion — this collapses those repeated candidate sweeps."""
     A = A.tocsr()
     if perrow is not None:
         coo = A.tocoo()
@@ -373,8 +383,17 @@ def strip_from_csr(A: sp.spmatrix, dtype=jnp.float32,
     A = A.tocsr()
     n, m = A.shape
     coo = A.tocoo()
-    pr, pick_padded = _pick_cached(A, perrow)
+    pr, pick_padded, _runner = _pick_cached(A, perrow)
     pln = _plan(coo.row, coo.col, n, m, pr)
+    if _runner is not None:
+        # the sampled pick was too close to call — resolve with the full
+        # pattern now that a strip is actually being BUILT (the sampled
+        # jitter mis-ranked pr=2 over pr=1 on the 48^3 level-2 A: 219 vs
+        # 197 us measured)
+        pln2 = _plan(coo.row, coo.col, n, m, _runner)
+        if pln2["score"] < pln["score"]:
+            pln = pln2
+    pick_padded = pln["padded_pairs"]   # build-exact for the time model
     pr, krb, rpt = pln["perrow"], pln["krb"], pln["rpt"]
     Q = 128 // pr
     n_rb = pln["n_rb"]
@@ -433,7 +452,7 @@ def strip_bytes_estimate(A: sp.spmatrix, dtype=jnp.float32) -> int:
     """Footprint the strip conversion would need (for format selection) —
     planner score from a row-block sample on large operators (exact plan
     on small ones), so format selection never pays a full-nnz sweep."""
-    _, padded = _pick_cached(A.tocsr())
+    _, padded, _ = _pick_cached(A.tocsr())
     return int(padded * 8 * 128 * (1 + jnp.dtype(dtype).itemsize))
 
 
@@ -458,7 +477,7 @@ def strip_time_estimate(A: sp.spmatrix, dtype=jnp.float32) -> float:
     byte bound: cost = per-call launch/prolog + GROUP-padded pair count
     at the picked perrow's ns/pair (fill cancels out). Used by time-based
     format selection against strip8/BSR estimates."""
-    pr, padded = _pick_cached(A.tocsr())
+    pr, padded, _ = _pick_cached(A.tocsr())
     ns = STRIP_NS_BY_PERROW.get(pr, STRIP_NS_PER_PAIR)
     return STRIP_LAUNCH_S + padded * ns * 1e-9
 
@@ -475,5 +494,5 @@ def strip_supported(A: sp.spmatrix, dtype=jnp.float32,
     itemsize = jnp.dtype(dtype).itemsize
     if (pad_to(m) + pad_to(n, 1024)) * itemsize >= vmem_budget:
         return False
-    _, padded = _pick_cached(A.tocsr())
+    _, padded, _ = _pick_cached(A.tocsr())
     return padded * 8 + (padded // GROUP + 1) * 4 < smem_budget
