@@ -278,6 +278,11 @@ def main():
             scale = {
                 "n": ns, "nnz": int(As.nnz),
                 "setup_s": round(scale_setup_s, 2),
+                "setup_phases": {k: round(v, 2)
+                                 for k, v in sorted(
+                                     getattr(info_s, "phases", {}).items(),
+                                     key=lambda kv: -kv[1])
+                                 if k != "upload_mb" and v >= 0.1},
                 "pcg_iters_to_1e8": it_s,
                 "pcg_rel_res": float(res_s.rel_res),
                 "pcg_solve_ms": round(solve_s_wall * 1e3, 2),

@@ -428,8 +428,12 @@ def strip_from_csr(A: sp.spmatrix, dtype=jnp.float32,
         # slot groups are contiguous lanes (int64: the native core returns
         # int8 slots and Q can be 128)
         j = pln["slot"].astype(np.int64) * Q + q
-        idx[pos[pln["inv"]], sub, j] = coo.col % 128
-        vals[pos[pln["inv"]], sub, j] = coo.data
+        # one FLAT scatter instead of a 3-axis fancy scatter: numpy
+        # resolves a single raveled index array ~2x faster on the
+        # multi-Mnnz conversions (same elements, same order)
+        flat = (pos[pln["inv"]].astype(np.int64) * 8 + sub) * 128 + j
+        idx.reshape(-1)[flat] = (coo.col % 128).astype(np.int8)
+        vals.reshape(-1)[flat] = coo.data
     sb_of = np.repeat(np.arange(n_sb), padded // GROUP).astype(np.int32)
 
     M = StripMatrix(
