@@ -523,11 +523,17 @@ def bsr_bytes_estimate(A: sp.spmatrix, dtype=jnp.float32) -> int:
 BSR_STREAM_BPS = 819e9       # v5e HBM stream rate the BSR kernel achieves
 BSR_TIME_FACTOR = 1.3        # gather/launch overhead over the pure stream
                              # (A1: 67.8 MB -> 110 us measured vs 83 pure)
+KERNEL_LAUNCH_S = 1.25e-6    # per-call launch/prolog floor, shared by ALL
+                             # kernel time models (cancels in format
+                             # ranking; keeps model_check honest on tiny
+                             # coarse-level operators where it dominates —
+                             # r5: L5 P+R measured 3.2 us vs 0.4 modeled)
 
 
 def bsr_time_estimate(A: sp.spmatrix, dtype=jnp.float32) -> float:
     """Estimated matvec seconds: the BSR matvec is HBM-stream bound."""
-    return bsr_bytes_estimate(A, dtype) / BSR_STREAM_BPS * BSR_TIME_FACTOR
+    return KERNEL_LAUNCH_S + \
+        bsr_bytes_estimate(A, dtype) / BSR_STREAM_BPS * BSR_TIME_FACTOR
 
 
 def rcm_permutation(A: sp.spmatrix) -> np.ndarray:

@@ -440,10 +440,12 @@ STRIP8_NS_PER_TILE = {"general": 29.0, "interval": 20.0}
 def strip8_time_estimate(A: sp.spmatrix, dtype=jnp.float32) -> float:
     """Estimated matvec seconds from the planned tile count and mode —
     the strip8 kernel is bound by per-tile x-source assembly, not bytes."""
+    from saena_tpu.ops.formats import KERNEL_LAUNCH_S
+
     _, plan = _plan8(A)
     mode = plan[8]
     n_tiles = max(GROUP8, -(-plan[3].shape[0] // GROUP8) * GROUP8)
-    return n_tiles * STRIP8_NS_PER_TILE[mode] * 1e-9
+    return KERNEL_LAUNCH_S + n_tiles * STRIP8_NS_PER_TILE[mode] * 1e-9
 
 
 def strip8_panel_slices(A: sp.spmatrix, dtype=jnp.float32,

