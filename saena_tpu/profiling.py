@@ -105,7 +105,8 @@ def modeled_matvec_time(M):
     (VERDICT r3: the 15->20 ns strip8 interval recalibration) is caught at
     every bench run instead of after a mis-ranked format ships."""
     from saena_tpu.ops.formats import (
-        BSR_STREAM_BPS, BSR_TIME_FACTOR, BsrMatrix, ColPanels, RowPanels)
+        BSR_STREAM_BPS, BSR_TIME_FACTOR, KERNEL_LAUNCH_S, BsrMatrix,
+        ColPanels, RowPanels)
     from saena_tpu.ops.pallas_strip8_spmv import (
         STRIP8_NS_PER_TILE, Strip8Matrix)
     from saena_tpu.ops.pallas_strip_spmv import (STRIP_LAUNCH_S,
@@ -120,9 +121,11 @@ def modeled_matvec_time(M):
         ns = STRIP_NS_BY_PERROW.get(M.perrow, STRIP_NS_PER_PAIR)
         return STRIP_LAUNCH_S + M.vals.shape[0] * ns * 1e-9
     if isinstance(M, Strip8Matrix):
-        return M.idx.shape[0] * STRIP8_NS_PER_TILE[M.mode] * 1e-9
+        return KERNEL_LAUNCH_S + \
+            M.idx.shape[0] * STRIP8_NS_PER_TILE[M.mode] * 1e-9
     if isinstance(M, BsrMatrix):
-        return float(M.blocks.nbytes) * BSR_TIME_FACTOR / BSR_STREAM_BPS
+        return KERNEL_LAUNCH_S + \
+            float(M.blocks.nbytes) * BSR_TIME_FACTOR / BSR_STREAM_BPS
     if isinstance(M, (RowPanels, ColPanels)):
         parts = [modeled_matvec_time(p) for p in M.parts]
         if any(t is None for t in parts):
@@ -161,6 +164,14 @@ def model_check(hierarchy, n_iter: int | None = None,
             mP = modeled_matvec_time(lv.P)
             mR = modeled_matvec_time(lv.R)
             if mP is None or mR is None:
+                continue
+            if mP + mR < 12e-6:
+                # us-scale pairs sit below the tunnel's slope-timing
+                # noise floor (one bad RPC swings the measurement 10x —
+                # an L5 pair read 3.2 us one run, 25 us the next) AND
+                # chained launches pipeline (an L4 pair measures 1.8 us
+                # against a 2x1.25 us serial launch floor); a measured
+                # row there only emits spurious drift warnings
                 continue
 
             def step(v, P, R):
