@@ -84,14 +84,12 @@ class StripMatrix:
     n_rows_pad: int = _static(default=0)   # internal padding (n_sb*krb*RPT)
     n_cols_pad: int = _static(default=0)
     n_out: int = _static(default=0)        # caller's padded length (128-mult)
-    pick_pairs: int = _static(default=0)   # the planner's GROUP-padded pair
-                                           # count — the number the time
-                                           # model/format selection ranked
-                                           # with (vals.shape[0] carries
-                                           # extra superblock padding whose
-                                           # empty groups cost ~nothing;
-                                           # modeling on it overestimated
-                                           # the 48^3 L2 matvec 1.35x)
+    pick_pairs: int = _static(default=0)   # the winning plan's padded pair
+                                           # count at build time
+                                           # (diagnostic; the time model
+                                           # uses vals.shape[0], which
+                                           # equals this after the
+                                           # build-time tie resolution)
 
     @property
     def dtype(self):
