@@ -131,7 +131,11 @@ def main():
     rng = np.random.default_rng(0)
     x = jnp.asarray(np.pad(rng.standard_normal(n), (0, hier.n_pad - n)),
                     dtype=dtype)
-    est = A0dev.nnz * 12.0 / 819e9   # roofline estimate sizes the chain
+    # chain-sizing estimate: the DIA kernel runs ~3.6x ABOVE the 12 B/nnz
+    # roofline (r5 roll kernel), so the raw roofline estimate sizes the
+    # long chain 4x too short and the delta drops under the tunnel jitter
+    # (measured 80% rep spread); divide accordingly
+    est = A0dev.nnz * 12.0 / 819e9 / 4
     spmv_s, spmv_reps = _slope_reps(mv_chain, A0dev, x, est_iter_s=est)
     nnz_per_s = A0dev.nnz / spmv_s
 
@@ -273,7 +277,7 @@ def main():
             xs_ = jnp.asarray(
                 np.pad(np.random.default_rng(0).standard_normal(ns),
                        (0, hier_s.n_pad - ns)), dtype=dtype)
-            est_s = A0s.nnz * 12.0 / 819e9
+            est_s = A0s.nnz * 12.0 / 819e9 / 4
             sp_s = _slope(mv_chain, A0s, xs_, est_iter_s=est_s)
             scale = {
                 "n": ns, "nnz": int(As.nnz),
@@ -427,6 +431,17 @@ def main():
     except Exception as e:
         suite["helmholtz_p5"] = {"error": repr(e)}
 
+    # ---- per-iteration pCG phase split (ref solve_pCG_profile /
+    # PROFILE_PCG accumulators, saena_object_solve.cpp:2804-3597)
+    pcg_phases = {}
+    try:
+        from saena_tpu.profiling import pcg_profile
+
+        pcg_phases = {k: round(v * 1e6, 2)
+                      for k, v in pcg_profile(hier, params).items()}
+    except Exception as e:
+        pcg_phases = {"error": repr(e)}
+
     # ---- kernel-time model self-check: modeled (the constants format
     # selection ranks with) vs measured per-level matvec times
     mcheck = []
@@ -492,6 +507,7 @@ def main():
                 for k, v in sorted(info.comm.bytes_by_phase.items())}
             if getattr(info, "comm", None) is not None else None,
             "model_check": mcheck,
+            "pcg_phases_us": pcg_phases,
             "levels": info.sizes,
             "lean": lean,
             "scale": scale,
