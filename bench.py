@@ -7,8 +7,10 @@ in "detail". The reference publishes no numbers ("published": {}), so
 vs_baseline is reported against an HBM-roofline model: ideal f32 SpMV
 streams ~12 bytes/nnz, so roofline = HBM_BW / 12 (v5e: 819 GB/s).
 vs_baseline > 1 is possible for stencil operators: the DIA Pallas kernel
-(ops/pallas_dia_spmv.py) stores ~4.6 bytes/nnz and keeps x in VMEM, so it
-beats the 12-byte generic-sparse stream model (measured 144 Gnnz/s = 2.1x).
+(ops/pallas_dia_spmv.py) stores ~4.6 bytes/nnz, keeps x in VMEM, and
+rotates misaligned diagonals with a single lane roll, so it beats the
+12-byte generic-sparse stream model (measured ~250-270 Gnnz/s = ~3.6-4x;
+~330 Gnnz/s on the 64-diagonal 830k-row level).
 
 Timing method: kernels are chained inside one jitted fori_loop returning a
 SCALAR, and the per-iteration cost is the (t_long - t_short) slope of the
